@@ -1,0 +1,90 @@
+"""Orbax checkpointing with restore-and-continue.
+
+The reference writes `last.pth` every epoch and `best.pth` at the best metric
+(train_frcnn_baseline.py:196,208; train_restoration.py:289-293) but has no
+mid-run resume. Here checkpoints carry the full train state (params, opt
+state, step, rng stream counters, best metric) and any run can resume.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over orbax: keeps `last` (rolling) and `best` (by metric)."""
+
+    def __init__(self, out_dir: str | Path, max_to_keep: int = 2):
+        self.root = Path(out_dir).absolute() / "ckpt"
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.root / "last",
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+        self._best_dir = self.root / "best"
+        self._best_meta = self.root / "best_meta.json"
+
+    # ── rolling `last` ──────────────────────────────────────────────
+    def save_last(self, step: int, state: Any, extra: Optional[Dict[str, Any]] = None) -> None:
+        payload = {"state": state}
+        if extra:
+            payload["extra"] = extra
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore_last(self, abstract_state: Any) -> Optional[Dict[str, Any]]:
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        target = {"state": abstract_state}
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        restored["step"] = step
+        return restored
+
+    # ── `best` by metric ────────────────────────────────────────────
+    def save_best(self, step: int, state: Any, metric: float,
+                  mode: str = "max") -> bool:
+        prev = self.best_metric()
+        improved = (prev is None or
+                    (metric > prev if mode == "max" else metric < prev))
+        if not improved:
+            return False
+        ckptr = ocp.StandardCheckpointer()
+        if self._best_dir.exists():
+            import shutil
+            shutil.rmtree(self._best_dir)
+        ckptr.save(self._best_dir, {"state": state})
+        ckptr.wait_until_finished()
+        self._best_meta.write_text(json.dumps({"step": step, "metric": metric}))
+        return True
+
+    def best_metric(self) -> Optional[float]:
+        if not self._best_meta.exists():
+            return None
+        return json.loads(self._best_meta.read_text())["metric"]
+
+    def restore_best(self, abstract_state: Any) -> Optional[Any]:
+        if not self._best_dir.exists():
+            return None
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(self._best_dir, args=ocp.args.StandardRestore(
+            {"state": abstract_state}))
+        return restored["state"]
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def abstract_like(tree: Any) -> Any:
+    """Shape/dtype skeleton of a pytree, for orbax restore targets."""
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x, tree)

@@ -1,0 +1,129 @@
+"""Box utilities: format conversion, clipping, IoU — batched and jit-safe.
+
+The reference delegates box math to torchvision/Ultralytics internals and
+converts formats in its converters (xywh->xyxy at coco_detection_dataset.py:37,
+YOLO normalised cxcywh at convert_visdrone_to_yolo.py:107-119). Here they are
+first-class vectorised ops shared by models, NMS, assigners and the scorer.
+
+Conventions: boxes are float32 arrays (..., 4); xyxy unless suffixed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def xywh_to_xyxy(b: jax.Array) -> jax.Array:
+    x, y, w, h = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([x, y, x + w, y + h], axis=-1)
+
+
+def xyxy_to_xywh(b: jax.Array) -> jax.Array:
+    x1, y1, x2, y2 = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([x1, y1, x2 - x1, y2 - y1], axis=-1)
+
+
+def cxcywh_to_xyxy(b: jax.Array) -> jax.Array:
+    cx, cy, w, h = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                           axis=-1)
+
+
+def xyxy_to_cxcywh(b: jax.Array) -> jax.Array:
+    x1, y1, x2, y2 = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1],
+                           axis=-1)
+
+
+def clip_to_image(b: jax.Array, h: float, w: float) -> jax.Array:
+    """Clamp xyxy boxes into [0,w]x[0,h] (reference clamp:
+    convert_visdrone_to_coco.py:64-77)."""
+    x1, y1, x2, y2 = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([
+        jnp.clip(x1, 0, w), jnp.clip(y1, 0, h),
+        jnp.clip(x2, 0, w), jnp.clip(y2, 0, h)], axis=-1)
+
+
+def area(b: jax.Array) -> jax.Array:
+    x1, y1, x2, y2 = jnp.split(b, 4, axis=-1)
+    return jnp.maximum(x2 - x1, 0)[..., 0] * jnp.maximum(y2 - y1, 0)[..., 0]
+
+
+def pairwise_iou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """IoU matrix between (..., M, 4) and (..., N, 4) xyxy -> (..., M, N)."""
+    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
+    rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area(a)[..., :, None] + area(b)[..., None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def pairwise_iou_xywh_coco(a: jax.Array, b: jax.Array,
+                           b_iscrowd: jax.Array | None = None) -> jax.Array:
+    """COCO-convention IoU on xywh boxes (pycocotools maskUtils.iou): for
+    crowd GT the denominator is the detection area only."""
+    ax = xywh_to_xyxy(a)
+    bx = xywh_to_xyxy(b)
+    lt = jnp.maximum(ax[..., :, None, :2], bx[..., None, :, :2])
+    rb = jnp.minimum(ax[..., :, None, 2:], bx[..., None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[..., 2] * a[..., 3])[..., :, None]
+    area_b = (b[..., 2] * b[..., 3])[..., None, :]
+    union = area_a + area_b - inter
+    if b_iscrowd is not None:
+        union = jnp.where(b_iscrowd[..., None, :], area_a + 0 * area_b, union)
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def giou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise generalised IoU between aligned (..., 4) xyxy boxes."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area(a) + area(b) - inter
+    iou = inter / jnp.maximum(union, 1e-9)
+    # smallest enclosing box
+    elt = jnp.minimum(a[..., :2], b[..., :2])
+    erb = jnp.maximum(a[..., 2:], b[..., 2:])
+    ewh = jnp.maximum(erb - elt, 0.0)
+    earea = ewh[..., 0] * ewh[..., 1]
+    return iou - (earea - union) / jnp.maximum(earea, 1e-9)
+
+
+def ciou(a: jax.Array, b: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """Elementwise complete IoU (used by YOLOv8's box loss)."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area(a) + area(b) - inter
+    iou = inter / (union + eps)
+
+    # enclosing box diagonal
+    elt = jnp.minimum(a[..., :2], b[..., :2])
+    erb = jnp.maximum(a[..., 2:], b[..., 2:])
+    cw = erb[..., 0] - elt[..., 0]
+    ch = erb[..., 1] - elt[..., 1]
+    c2 = cw * cw + ch * ch + eps
+
+    # centre distance
+    acx = (a[..., 0] + a[..., 2]) / 2
+    acy = (a[..., 1] + a[..., 3]) / 2
+    bcx = (b[..., 0] + b[..., 2]) / 2
+    bcy = (b[..., 1] + b[..., 3]) / 2
+    rho2 = (acx - bcx) ** 2 + (acy - bcy) ** 2
+
+    # aspect-ratio term
+    aw = a[..., 2] - a[..., 0]
+    ah = a[..., 3] - a[..., 1]
+    bw = b[..., 2] - b[..., 0]
+    bh = b[..., 3] - b[..., 1]
+    v = (4 / jnp.pi ** 2) * (jnp.arctan(bw / (bh + eps))
+                             - jnp.arctan(aw / (ah + eps))) ** 2
+    alpha = v / jnp.maximum(v - iou + (1 + eps), eps)
+    alpha = jax.lax.stop_gradient(alpha)
+    return iou - rho2 / c2 - alpha * v

@@ -75,8 +75,7 @@ class CheckpointManager:
         if not self._best_dir.exists():
             return None
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(self._best_dir, args=ocp.args.StandardRestore(
-            {"state": abstract_state}))
+        restored = ckptr.restore(self._best_dir, {"state": abstract_state})
         return restored["state"]
 
     def close(self) -> None:

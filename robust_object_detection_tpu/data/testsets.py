@@ -1,0 +1,185 @@
+"""Frozen corrupted testset builder.
+
+TPU-native counterpart of the reference's build_corrupted_testsets.py: builds
+the four frozen val testsets Test_Clean / Test_Noise / Test_Blur / Test_LowRes
+in both YOLO and COCO layouts under ``<root>/{yolo6,coco6}``
+(build_corrupted_testsets.py:8-10,92-105,129-166).
+
+Parity notes:
+  * Noise is drawn from numpy MT19937 seeded with 42 on the host, one
+    ``normal(0, sigma, img.shape)`` per image in sorted filename order —
+    the reference's np.random.seed(SEED) + per-image draw
+    (build_corrupted_testsets.py:13,26-27,41-45). This keeps the frozen
+    testsets' noise stream reproducible outside jax.random.
+  * Blur and LowRes run through the framework's own device ops
+    (ops/corrupt.py, ops/image.py), validated bit-close to OpenCV in
+    tests/test_corrupt.py. LowRes target size is ``int(w*f), int(h*f)``
+    (truncation) like build_corrupted_testsets.py:54-58.
+  * Labels / annotations are copied unchanged; per-variant data.yaml points
+    val at ``images/val`` (build_corrupted_testsets.py:66-82).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import shutil
+from pathlib import Path
+from typing import Callable, Dict
+
+import numpy as np
+
+from ..core.config import CorruptionConfig
+from ..ops import corrupt as corrupt_ops
+from ..ops import image as image_ops
+
+VARIANTS = ("Test_Clean", "Test_Noise", "Test_Blur", "Test_LowRes")
+SEED = 42
+
+
+@functools.lru_cache(maxsize=64)
+def _blur_fn(h: int, w: int, c: int, k: int, angle: float):
+    import jax
+
+    @jax.jit
+    def f(img):
+        return corrupt_ops.apply_motion_blur(img, k=k, angle_deg=angle)
+    return f
+
+
+@functools.lru_cache(maxsize=64)
+def _lowres_fn(h: int, w: int, c: int, factor: float):
+    import jax
+    import jax.numpy as jnp
+    sh, sw = int(h * factor), int(w * factor)
+
+    @jax.jit
+    def f(img):
+        small = image_ops.resize_area(img, sh, sw)
+        small = image_ops.quantize_round_half_up(small)
+        up = image_ops.resize_bilinear(small, h, w)
+        return image_ops.quantize_round_half_up(up)
+    return f
+
+
+def make_corruptors(cfg: CorruptionConfig, rng: np.random.RandomState,
+                    ) -> Dict[str, Callable[[np.ndarray], np.ndarray]]:
+    """Variant name -> uint8 HWC -> uint8 HWC corruption fn."""
+
+    def clean(img: np.ndarray) -> np.ndarray:
+        return img
+
+    def noise(img: np.ndarray) -> np.ndarray:
+        # host MT19937 draw, float32 add, clip, truncate — matches
+        # np.clip(img+noise,0,255).astype(np.uint8) (build_corrupted_testsets.py:41-45)
+        x = img.astype(np.float32) + rng.normal(
+            0.0, cfg.noise_sigma, img.shape).astype(np.float32)
+        return np.clip(x, 0, 255).astype(np.uint8)
+
+    def blur(img: np.ndarray) -> np.ndarray:
+        h, w, c = img.shape
+        f = _blur_fn(h, w, c, cfg.blur_kernel, cfg.blur_angle_deg)
+        return np.asarray(f(img.astype(np.float32))).astype(np.uint8)
+
+    def lowres(img: np.ndarray) -> np.ndarray:
+        h, w, c = img.shape
+        f = _lowres_fn(h, w, c, cfg.downscale_factor)
+        return np.asarray(f(img.astype(np.float32))).astype(np.uint8)
+
+    return {"Test_Clean": clean, "Test_Noise": noise, "Test_Blur": blur,
+            "Test_LowRes": lowres}
+
+
+def _read_image(path: Path) -> np.ndarray:
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _write_image(path: Path, img: np.ndarray, quality: int = 95) -> None:
+    from PIL import Image
+    Image.fromarray(img).save(path, quality=quality)
+
+
+def _variant_data_yaml(variant_dir: Path) -> None:
+    from .visdrone import CLASS_NAMES
+    names = "\n".join(f"  {i}: {n}" for i, n in enumerate(CLASS_NAMES))
+    variant_dir.joinpath("data.yaml").write_text(
+        f"path: {variant_dir.resolve()}\n"
+        f"train: images/val\n"
+        f"val: images/val\n"
+        f"nc: {len(CLASS_NAMES)}\n"
+        f"names:\n{names}\n")
+
+
+def build_yolo_testsets(yolo_root: str | Path, out_root: str | Path,
+                        cfg: CorruptionConfig = CorruptionConfig(),
+                        seed: int = SEED) -> None:
+    """YOLO-layout frozen testsets (build_corrupted_testsets.py:85-126)."""
+    yolo_root, out_root = Path(yolo_root), Path(out_root)
+    src_imgs = sorted((yolo_root / "images" / "val").glob("*.jpg"))
+    src_lbl = yolo_root / "labels" / "val"
+    for variant in VARIANTS:
+        rng = np.random.RandomState(seed)
+        fns = make_corruptors(cfg, rng)
+        vdir = out_root / "yolo6" / variant
+        img_out = vdir / "images" / "val"
+        lbl_out = vdir / "labels" / "val"
+        img_out.mkdir(parents=True, exist_ok=True)
+        lbl_out.mkdir(parents=True, exist_ok=True)
+        for p in src_imgs:
+            _write_image(img_out / p.name, fns[variant](_read_image(p)))
+            lbl = src_lbl / (p.stem + ".txt")
+            if lbl.exists():
+                shutil.copy2(lbl, lbl_out / lbl.name)
+        _variant_data_yaml(vdir)
+
+
+def build_coco_testsets(coco_root: str | Path, out_root: str | Path,
+                        cfg: CorruptionConfig = CorruptionConfig(),
+                        seed: int = SEED) -> None:
+    """COCO-layout frozen testsets (build_corrupted_testsets.py:129-166)."""
+    coco_root, out_root = Path(coco_root), Path(out_root)
+    src_imgs = sorted((coco_root / "images" / "val").glob("*.jpg"))
+    ann = coco_root / "annotations" / "instances_val.json"
+    for variant in VARIANTS:
+        rng = np.random.RandomState(seed)
+        fns = make_corruptors(cfg, rng)
+        vdir = out_root / "coco6" / variant
+        img_out = vdir / "images" / "val"
+        ann_out = vdir / "annotations"
+        img_out.mkdir(parents=True, exist_ok=True)
+        ann_out.mkdir(parents=True, exist_ok=True)
+        for p in src_imgs:
+            _write_image(img_out / p.name, fns[variant](_read_image(p)))
+        if ann.exists():
+            shutil.copy2(ann, ann_out / "instances_val.json")
+
+
+def build_all(processed_root: str | Path, testset_root: str | Path,
+              cfg: CorruptionConfig = CorruptionConfig(),
+              seed: int = SEED) -> None:
+    processed_root = Path(processed_root)
+    build_yolo_testsets(processed_root / "visdrone_yolo6", testset_root, cfg,
+                        seed)
+    build_coco_testsets(processed_root / "visdrone_coco6", testset_root, cfg,
+                        seed)
+
+
+def testset_manifest(testset_root: str | Path) -> dict:
+    """Audit summary: per variant, image count + content hash prefix."""
+    import hashlib
+    out = {}
+    root = Path(testset_root)
+    for fmt in ("yolo6", "coco6"):
+        for variant in VARIANTS:
+            img_dir = root / fmt / variant / "images" / "val"
+            if not img_dir.exists():
+                continue
+            files = sorted(img_dir.glob("*.jpg"))
+            h = hashlib.sha256()
+            for f in files:
+                h.update(f.read_bytes())
+            out[f"{fmt}/{variant}"] = {
+                "images": len(files), "sha256_16": h.hexdigest()[:16]}
+    return out

@@ -1,0 +1,122 @@
+"""Residual restoration U-Net (Flax, NHWC).
+
+Capability parity with the reference's 3.70M-param RestorationUNet
+(restoration_net.py:17-106, docs/06_restoration_experiment.md:26):
+
+  * 4 encoder stages (32, 64, 128, 256), each 2x(3x3 conv -> BN -> LeakyReLU
+    0.2) followed by 2x max-pool; bottleneck ConvBlock at 256,
+  * 4 decoder stages: 2x2 stride-2 transposed conv (channel-preserving),
+    concat skip, ConvBlock down to the stage width,
+  * 1x1 conv to a 3-channel residual; output = clamp(x + residual, 0, 1).
+
+TPU-native choices: NHWC layout (XLA:TPU's native conv layout), optional
+bfloat16 compute with float32 BatchNorm statistics, and a `remat` flag that
+rematerialises encoder stages to trade FLOPs for HBM on large inputs.
+Inputs must have H, W divisible by 16 (4 pools) — the inference path pads
+reflectively to a multiple of 16 exactly like the reference
+(restore_testsets.py:52-61) via :func:`restore_tiled`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBlock(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3), use_bias=False,
+                        dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=jnp.float32)(x)
+            x = nn.leaky_relu(x, 0.2)
+        return x
+
+
+class RestorationUNet(nn.Module):
+    channels: Sequence[int] = (32, 64, 128, 256)
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """x: (N, H, W, 3) float in [0, 1], H % 16 == W % 16 == 0."""
+        block = ConvBlock
+        if self.remat:
+            block = nn.remat(ConvBlock, static_argnums=(2,))
+        inp = x
+        x = x.astype(self.dtype)
+
+        skips = []
+        for c in self.channels:
+            x = block(c, self.dtype)(x, train)
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+
+        x = block(self.channels[-1], self.dtype)(x, train)
+
+        # Decoder stage widths: (128, 64, 32, 32) for the default channels —
+        # the last stage keeps c1 (restoration_net.py:80-83).
+        out_ch = list(self.channels[-2::-1]) + [self.channels[0]]
+        for skip, c in zip(reversed(skips), out_ch):
+            x = nn.ConvTranspose(x.shape[-1], (2, 2), strides=(2, 2),
+                                 dtype=self.dtype)(x)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            x = block(c, self.dtype)(x, train)
+
+        residual = nn.Conv(3, (1, 1), dtype=self.dtype)(x)
+        return jnp.clip(inp + residual.astype(jnp.float32), 0.0, 1.0)
+
+
+def create(channels: Sequence[int] = (32, 64, 128, 256),
+           dtype: Any = jnp.float32, remat: bool = False) -> RestorationUNet:
+    return RestorationUNet(channels=tuple(channels), dtype=dtype, remat=remat)
+
+
+def init_variables(model: RestorationUNet, key: jax.Array,
+                   patch: int = 256) -> dict:
+    # jit the init: eager op-by-op dispatch compiles every conv separately
+    # (~60s on CPU); one traced compile is ~4s and free on reuse.
+    init = jax.jit(lambda k, x: model.init(k, x, train=False))
+    return init(key, jnp.zeros((1, patch, patch, 3), jnp.float32))
+
+
+def jit_apply(model: RestorationUNet):
+    """Shape-cached jitted inference apply: fn(variables, x) -> restored."""
+    return jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+
+def param_count(variables: dict) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(variables["params"]))
+
+
+def pad_to_16(img: jax.Array) -> Tuple[jax.Array, Tuple[int, int]]:
+    """Reflect-pad H,W to multiples of 16 (restore_testsets.py:52-61 uses
+    BORDER_REFLECT); returns (padded, (orig_h, orig_w))."""
+    h, w = img.shape[-3], img.shape[-2]
+    ph, pw = (-h) % 16, (-w) % 16
+    if ph or pw:
+        spatial = img.ndim - 3
+        pads = [(0, 0)] * spatial + [(0, ph), (0, pw), (0, 0)]
+        img = jnp.pad(img, pads, mode="reflect")
+    return img, (h, w)
+
+
+def restore_image(apply_fn, variables: dict, img: jax.Array) -> jax.Array:
+    """Full-resolution restoration of one HWC [0,1] image: pad to 16,
+    forward, un-pad (the reference's restore_image, restore_testsets.py:52-79).
+
+    `apply_fn` should be a jitted fn(variables, x) (see :func:`jit_apply`);
+    each distinct padded shape compiles once and is cached.
+    """
+    x, (h, w) = pad_to_16(img[None])
+    out = apply_fn(variables, x)
+    return out[0, :h, :w]

@@ -58,6 +58,42 @@ def area_downsample_2x(img: jax.Array) -> jax.Array:
     return x.mean(axis=(-4, -2))
 
 
+def _area_weights(out_size: int, in_size: int):
+    """Row-stochastic (out, in) resampling matrix for cv2 INTER_AREA.
+
+    Each dst pixel averages the src interval [i*scale, (i+1)*scale) with
+    fractional-overlap weights — cv2's decimation semantics for any scale<1
+    (exact box mean at integer factors). Returned as numpy so it folds into
+    the jit trace as a constant; the resize itself is then two matmuls.
+    """
+    import numpy as np
+    scale = in_size / out_size
+    w = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        lo, hi = i * scale, (i + 1) * scale
+        j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
+        for j in range(j0, min(j1, in_size)):
+            w[i, j] = min(hi, j + 1) - max(lo, j)
+    return w / w.sum(axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_area(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """cv2.resize(..., INTER_AREA) for downscaling, arbitrary sizes.
+
+    Separable weighted averages expressed as two matmuls (MXU-shaped on TPU).
+    Float output; callers quantise (cv2's uint8 path rounds half up).
+    """
+    x = img.astype(jnp.float32)
+    wh = jnp.asarray(_area_weights(out_h, x.shape[-3]))
+    ww = jnp.asarray(_area_weights(out_w, x.shape[-2]))
+    x = jnp.einsum("oh,...hwc->...owc", wh, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("ow,...hwc->...hoc", ww, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    return x
+
+
 def _linear_weights(out_size: int, in_size: int):
     """Half-pixel-center source coords + gather indices/weights (static)."""
     scale = in_size / out_size

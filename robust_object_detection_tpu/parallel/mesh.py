@@ -1,0 +1,83 @@
+"""Device mesh construction and sharding helpers.
+
+Design (the scaling-book recipe): pick a mesh, annotate shardings on the
+arguments of one jitted step, let XLA insert the collectives. For this
+workload the natural layout is pure data parallelism — detection batches are
+large and models are small (<100M params) — so parameters replicate and the
+per-step gradient psum rides ICI. The `model` axis exists for forward
+compatibility (sharding RT-DETR's decoder or very large batches of queries)
+and is exercised by the multi-chip dry-run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import MeshConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    data, model = cfg.axis_sizes(len(devices))
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+@dataclasses.dataclass
+class MeshContext:
+    """A mesh plus its two standard shardings."""
+    mesh: Mesh
+
+    @property
+    def data(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(DATA_AXIS))
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    @property
+    def n_data(self) -> int:
+        return self.mesh.shape[DATA_AXIS]
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """device_put every array of a batch pytree with batch-dim sharding."""
+    s = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_params(mesh: Mesh, tree: Any) -> Any:
+    """Replicate parameters/state across the mesh."""
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def pad_batch_to(batch_arrays: Any, multiple: int) -> Any:
+    """Pad leading dim up to a multiple (so it divides the data axis)."""
+    def pad(x):
+        n = x.shape[0]
+        p = (-n) % multiple
+        if p == 0:
+            return x
+        pads = [(0, p)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, pads)
+    return jax.tree.map(pad, batch_arrays)

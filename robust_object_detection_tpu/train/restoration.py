@@ -1,0 +1,282 @@
+"""Restoration U-Net training (reference: train_restoration.py).
+
+Capability parity: (corrupted, clean) 256x256 patch pairs, L1 + 0.3*(1-SSIM)
+loss, AdamW lr=1e-3 wd=1e-4 with cosine decay to 1e-6 over 60 epochs,
+validation every 5 epochs keeping the best-PSNR checkpoint
+(train_restoration.py:33-48,246-248,282-293).
+
+TPU-native differences:
+  * the hot loop is ONE jitted sharded step: random h-flip, random corruption
+    (uniform over noise/blur/lowres, train_restoration.py:95-102), forward,
+    loss, grads, all-reduce, update — all on device. The reference does
+    corruption per-image in Python inside __getitem__ (its CPU hot loop,
+    SURVEY.md §3.3).
+  * host threads only decode JPEGs and cut uint8 crops; batches are
+    device_put with data-axis sharding.
+  * batch stats (BatchNorm) are averaged over the data axis implicitly by
+    computing them on the global batch under jit-with-sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+from typing import Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import artifacts
+from ..core.checkpoint import CheckpointManager
+from ..core.config import CorruptionConfig, ExperimentConfig, RestorationConfig
+from ..models import unet as unet_lib
+from ..ops import corrupt as corrupt_ops
+from ..ops import ssim as ssim_ops
+from ..parallel import mesh as mesh_lib
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+    def tree_flatten(self):
+        return ((self.params, self.batch_stats, self.opt_state, self.step),
+                None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
+
+
+# ── Host-side patch dataset ──────────────────────────────────────────────
+
+class PatchDataset:
+    """Random (train) / centre (val) 256-crops from a directory of JPEGs.
+
+    Images smaller than the patch are upscaled like the reference
+    (train_restoration.py:78-90). Crops stay uint8; corruption happens on
+    device.
+    """
+
+    def __init__(self, img_dir: str | Path, patch: int = 256,
+                 train: bool = True, seed: int = 42):
+        self.paths = sorted(Path(img_dir).glob("*.jpg"))
+        if not self.paths:
+            raise FileNotFoundError(f"no jpgs under {img_dir}")
+        self.patch = patch
+        self.train = train
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _load(self, idx: int, rng: np.random.RandomState) -> np.ndarray:
+        import cv2
+        img = cv2.imread(str(self.paths[idx]), cv2.IMREAD_COLOR)[:, :, ::-1]
+        h, w = img.shape[:2]
+        s = self.patch
+        if h < s or w < s:
+            img = cv2.resize(img, (max(w, s), max(h, s)))
+            h, w = img.shape[:2]
+        if self.train:
+            y = rng.randint(0, h - s + 1)
+            x = rng.randint(0, w - s + 1)
+        else:
+            y, x = (h - s) // 2, (w - s) // 2
+        return np.ascontiguousarray(img[y:y + s, x:x + s])
+
+    def batches(self, batch_size: int, epoch: int = 0,
+                num_threads: int = 8) -> Iterator[np.ndarray]:
+        """Yield (B, S, S, 3) uint8 batches; train order reshuffles per epoch."""
+        from concurrent.futures import ThreadPoolExecutor
+        rng = np.random.RandomState(self.seed + epoch)
+        order = np.arange(len(self.paths))
+        if self.train:
+            rng.shuffle(order)
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            for start in range(0, len(order), batch_size):
+                idxs = order[start:start + batch_size]
+                if len(idxs) < batch_size:
+                    if self.train:
+                        break      # drop remainder for static shapes
+                    idxs = np.concatenate(
+                        [idxs, idxs[-1:].repeat(batch_size - len(idxs))])
+                crops = list(pool.map(
+                    lambda i: self._load(i, rng), idxs))
+                yield np.stack(crops)
+
+
+# ── Jitted steps ─────────────────────────────────────────────────────────
+
+def make_optimizer(cfg: RestorationConfig, steps_per_epoch: int):
+    sched = optax.cosine_decay_schedule(
+        cfg.lr, cfg.epochs * max(1, steps_per_epoch), cfg.lr_min / cfg.lr)
+    return optax.adamw(sched, weight_decay=cfg.weight_decay), sched
+
+
+def corrupt_uniform3(img: jax.Array, key: jax.Array,
+                     cfg: CorruptionConfig) -> jax.Array:
+    """Always corrupt, uniform over noise/blur/lowres
+    (train_restoration.py:95-102)."""
+    k_choice, k_noise = jax.random.split(key)
+    n = img.shape[0]
+    choice = jax.random.randint(k_choice, (n,), corrupt_ops.NOISE,
+                                corrupt_ops.LOWRES + 1)
+    return corrupt_ops.corrupt_variant(img, choice, k_noise, cfg)
+
+
+def make_train_step(model, tx, corruption: CorruptionConfig,
+                    ssim_weight: float = 0.3):
+    """One sharded train step: uint8 batch -> flip -> corrupt -> loss -> update."""
+
+    def step(state: TrainState, batch_u8: jax.Array, key: jax.Array):
+        k_flip, k_corr = jax.random.split(jax.random.fold_in(key, state.step))
+        x = batch_u8.astype(jnp.float32)
+        flip = jax.random.bernoulli(k_flip, 0.5, (x.shape[0], 1, 1, 1))
+        x = jnp.where(flip, x[:, :, ::-1, :], x)
+        corrupted = corrupt_uniform3(x, k_corr, corruption) / 255.0
+        clean = x / 255.0
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                corrupted, train=True, mutable=["batch_stats"])
+            loss = ssim_ops.restoration_loss(out, clean, ssim_weight)
+            return loss, (mutated["batch_stats"], out)
+
+        (loss, (new_stats, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss,
+                   "psnr": ssim_ops.psnr(out, clean),
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(new_params, new_stats, new_opt,
+                          state.step + 1), metrics
+
+    return step
+
+
+def make_eval_step(model, corruption: CorruptionConfig):
+    def step(state: TrainState, batch_u8: jax.Array, key: jax.Array):
+        clean = batch_u8.astype(jnp.float32) / 255.0
+        corrupted = corrupt_uniform3(
+            batch_u8.astype(jnp.float32), key, corruption) / 255.0
+        out = model.apply({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          corrupted, train=False)
+        return {"psnr": ssim_ops.psnr(out, clean),
+                "ssim": ssim_ops.ssim(out, clean)}
+    return step
+
+
+# ── Full training driver ─────────────────────────────────────────────────
+
+def train(cfg: ExperimentConfig, train_dir: str | Path, val_dir: str | Path,
+          out_dir: Optional[str | Path] = None,
+          max_steps: Optional[int] = None) -> dict:
+    """Train the restoration U-Net; returns summary with best PSNR/SSIM."""
+    rcfg = cfg.restoration
+    out_dir = Path(out_dir or cfg.out_dir / "restoration")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    artifacts.write_json(out_dir / "config.json",
+                         dataclasses.asdict(cfg))
+
+    mesh = mesh_lib.make_mesh(cfg.mesh)
+    ctx = mesh_lib.MeshContext(mesh)
+
+    train_ds = PatchDataset(train_dir, rcfg.patch_size, train=True,
+                            seed=rcfg.seed)
+    val_ds = PatchDataset(val_dir, rcfg.patch_size, train=False,
+                          seed=rcfg.seed)
+    steps_per_epoch = len(train_ds) // rcfg.batch_size
+
+    model = unet_lib.create(rcfg.channels)
+    variables = unet_lib.init_variables(
+        model, jax.random.key(rcfg.seed), rcfg.patch_size)
+    tx, sched = make_optimizer(rcfg, steps_per_epoch)
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       tx.init(variables["params"]), jnp.asarray(0))
+    state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
+
+    train_step = jax.jit(
+        make_train_step(model, tx, cfg.corruption, rcfg.ssim_weight),
+        in_shardings=(ctx.replicated, ctx.data, None),
+        out_shardings=(ctx.replicated, ctx.replicated),
+        donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(model, cfg.corruption),
+                        in_shardings=(ctx.replicated, ctx.data, None),
+                        out_shardings=ctx.replicated)
+
+    ckpt = CheckpointManager(out_dir)
+    hist = artifacts.HistoryLogger(out_dir)
+    root_key = jax.random.key(rcfg.seed)
+    best = {"psnr": -1.0, "ssim": 0.0, "epoch": -1}
+    total_steps = 0
+
+    for epoch in range(1, rcfg.epochs + 1):
+        t0 = time.time()
+        losses: List[float] = []
+        for batch in train_ds.batches(rcfg.batch_size, epoch):
+            b = jax.device_put(batch, ctx.data)
+            state, metrics = train_step(state, b, root_key)
+            losses.append(metrics["loss"])
+            total_steps += 1
+            if max_steps and total_steps >= max_steps:
+                break
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+
+        record = {"epoch": epoch, "train_loss": mean_loss,
+                  "lr": float(sched(total_steps)),
+                  "epoch_sec": round(time.time() - t0, 2)}
+        if epoch % rcfg.val_every == 0 or epoch == rcfg.epochs or max_steps:
+            psnrs, ssims = [], []
+            for vi, batch in enumerate(val_ds.batches(rcfg.batch_size)):
+                b = jax.device_put(batch, ctx.data)
+                m = eval_step(state, b, jax.random.fold_in(root_key, vi))
+                psnrs.append(m["psnr"])
+                ssims.append(m["ssim"])
+            record["val_psnr"] = float(jnp.mean(jnp.stack(psnrs)))
+            record["val_ssim"] = float(jnp.mean(jnp.stack(ssims)))
+            if record["val_psnr"] > best["psnr"]:
+                best = {"psnr": record["val_psnr"],
+                        "ssim": record["val_ssim"], "epoch": epoch}
+                ckpt.save_best(epoch, {"params": state.params,
+                                       "batch_stats": state.batch_stats},
+                               record["val_psnr"])
+        hist.log(**record)
+        ckpt.save_last(epoch, {"params": state.params,
+                               "batch_stats": state.batch_stats,
+                               "opt_state": state.opt_state})
+        if max_steps and total_steps >= max_steps:
+            break
+
+    ckpt.close()
+    return {"best": best, "out_dir": str(out_dir),
+            "param_count": unet_lib.param_count({"params": state.params})}
+
+
+def load_best(out_dir: str | Path, channels=(32, 64, 128, 256)):
+    """Load the best checkpoint; returns (model, variables)."""
+    model = unet_lib.create(channels)
+    variables = unet_lib.init_variables(model, jax.random.key(0))
+    ckpt = CheckpointManager(out_dir)
+    restored = ckpt.restore_best(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]})
+    ckpt.close()
+    if restored is None:
+        raise FileNotFoundError(f"no best checkpoint under {out_dir}")
+    return model, {"params": restored["params"],
+                   "batch_stats": restored["batch_stats"]}

@@ -1,0 +1,121 @@
+"""Shared detector building blocks (Flax, NHWC).
+
+The reference's detectors live inside torchvision/Ultralytics (SURVEY.md
+§2.2); these are the TPU-native equivalents of the blocks they are built
+from: Conv-BN-SiLU, YOLO C2f/SPPF, and ResNet bottlenecks. Conventions:
+
+  * NHWC everywhere (XLA:TPU's native conv layout),
+  * optional bfloat16 compute (`dtype`) with float32 BatchNorm statistics,
+  * SAME-style explicit padding identical to torch's Conv2d(padding=k//2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBnAct(nn.Module):
+    """Conv2d(bias=False) + BatchNorm + SiLU — Ultralytics' `Conv` block."""
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        p = self.kernel // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)), use_bias=False,
+                    feature_group_count=self.groups, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=jnp.float32)(x)
+        if self.act:
+            x = nn.silu(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """YOLO residual bottleneck: two 3x3 convs + optional shortcut."""
+    features: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        hidden = int(self.features * self.expansion)
+        y = ConvBnAct(hidden, 3, dtype=self.dtype)(x, train)
+        y = ConvBnAct(self.features, 3, dtype=self.dtype)(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = x + y
+        return y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial block with n bottlenecks (YOLOv8's core block).
+
+    cv1 projects to 2 chunks; each bottleneck consumes the running last chunk
+    and appends its output; cv2 fuses the (2+n) chunks.
+    """
+    features: int
+    n: int = 1
+    shortcut: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = self.features // 2
+        y = ConvBnAct(2 * c, 1, dtype=self.dtype)(x, train)
+        chunks = [y[..., :c], y[..., c:]]
+        for _ in range(self.n):
+            chunks.append(Bottleneck(c, self.shortcut, expansion=1.0,
+                                     dtype=self.dtype)(chunks[-1], train))
+        return ConvBnAct(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate(chunks, axis=-1), train)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 3 chained 5x5 stride-1 max-pools."""
+    features: int
+    pool: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = x.shape[-1] // 2
+        x = ConvBnAct(c, 1, dtype=self.dtype)(x, train)
+        outs = [x]
+        p = self.pool // 2
+        for _ in range(3):
+            outs.append(nn.max_pool(outs[-1], (self.pool, self.pool),
+                                    strides=(1, 1),
+                                    padding=((p, p), (p, p))))
+        return ConvBnAct(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate(outs, axis=-1), train)
+
+
+def upsample2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x upsample (torch nn.Upsample(scale=2))."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def make_divisible(v: float, divisor: int = 8) -> int:
+    """Ultralytics channel rounding."""
+    return max(divisor, int(v + divisor / 2) // divisor * divisor)
+
+
+def scale_channels(base: int, width: float, max_channels: int) -> int:
+    return make_divisible(min(base, max_channels) * width, 8)
+
+
+def scale_depth(base: int, depth: float) -> int:
+    return max(1, round(base * depth))

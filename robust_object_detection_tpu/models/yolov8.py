@@ -1,0 +1,213 @@
+"""YOLOv8 detector family (Flax, NHWC) — anchor-free, decoupled head, DFL.
+
+Capability target: the reference trains/evaluates Ultralytics YOLOv8m at
+imgsz=1024 on VisDrone-6 (train_yolo_augmented.py:21-42). This is a from-
+scratch TPU-native implementation of that model family:
+
+  * CSPDarknet backbone: stem + 4 stages of stride-2 Conv + C2f, SPPF on P5,
+  * PAN neck: top-down and bottom-up C2f fusion,
+  * decoupled head per level (P3/P4/P5, strides 8/16/32): a box branch
+    predicting 4*reg_max DFL logits and a cls branch predicting nc logits,
+  * distribution-focal-loss decode: bbox distances are the expectation over
+    a 16-bin softmax, turned into xyxy via the anchor grid.
+
+Everything is static-shape: `decode` returns the full (B, sum HW, ...) set;
+post-processing (score threshold, top-k, NMS) happens in ops/nms.py with
+fixed capacities. bf16-friendly: set dtype=jnp.bfloat16 for MXU-paced convs
+while BatchNorm stats and the decode stay float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .layers import (C2f, ConvBnAct, SPPF, scale_channels, scale_depth,
+                     upsample2x)
+
+# (depth_multiple, width_multiple, max_channels) per size variant.
+VARIANTS: Dict[str, Tuple[float, float, int]] = {
+    "n": (0.34, 0.25, 1024),
+    "s": (0.34, 0.50, 1024),
+    "m": (0.67, 0.75, 768),
+    "l": (1.00, 1.00, 512),
+    "x": (1.00, 1.25, 512),
+}
+
+STRIDES = (8, 16, 32)
+REG_MAX = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloConfig:
+    num_classes: int = 6
+    variant: str = "m"
+
+    @property
+    def scales(self) -> Tuple[float, float, int]:
+        return VARIANTS[self.variant]
+
+    def width(self, base: int) -> int:
+        d, w, mc = self.scales
+        return scale_channels(base, w, mc)
+
+    def depth(self, base: int) -> int:
+        d, w, mc = self.scales
+        return scale_depth(base, d)
+
+
+class Backbone(nn.Module):
+    """CSPDarknet: returns (P3, P4, P5) features at strides 8/16/32."""
+    cfg: YoloConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg.width
+        d = self.cfg.depth
+        x = ConvBnAct(c(64), 3, 2, dtype=self.dtype)(x, train)       # P1
+        x = ConvBnAct(c(128), 3, 2, dtype=self.dtype)(x, train)      # P2
+        x = C2f(c(128), d(3), True, dtype=self.dtype)(x, train)
+        x = ConvBnAct(c(256), 3, 2, dtype=self.dtype)(x, train)      # P3
+        p3 = x = C2f(c(256), d(6), True, dtype=self.dtype)(x, train)
+        x = ConvBnAct(c(512), 3, 2, dtype=self.dtype)(x, train)      # P4
+        p4 = x = C2f(c(512), d(6), True, dtype=self.dtype)(x, train)
+        x = ConvBnAct(c(1024), 3, 2, dtype=self.dtype)(x, train)     # P5
+        x = C2f(c(1024), d(3), True, dtype=self.dtype)(x, train)
+        p5 = SPPF(c(1024), dtype=self.dtype)(x, train)
+        return p3, p4, p5
+
+
+class Neck(nn.Module):
+    """PAN: top-down fusion then bottom-up aggregation."""
+    cfg: YoloConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        p3, p4, p5 = feats
+        c = self.cfg.width
+        d = self.cfg.depth
+        # top-down
+        t4 = C2f(c(512), d(3), False, dtype=self.dtype)(
+            jnp.concatenate([upsample2x(p5), p4], -1), train)
+        t3 = C2f(c(256), d(3), False, dtype=self.dtype)(
+            jnp.concatenate([upsample2x(t4), p3], -1), train)
+        # bottom-up
+        b4 = C2f(c(512), d(3), False, dtype=self.dtype)(
+            jnp.concatenate([
+                ConvBnAct(c(256), 3, 2, dtype=self.dtype)(t3, train), t4],
+                -1), train)
+        b5 = C2f(c(1024), d(3), False, dtype=self.dtype)(
+            jnp.concatenate([
+                ConvBnAct(c(512), 3, 2, dtype=self.dtype)(b4, train), p5],
+                -1), train)
+        return t3, b4, b5
+
+
+class Head(nn.Module):
+    """Decoupled anchor-free head: DFL box logits + class logits per level."""
+    cfg: YoloConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        nc = self.cfg.num_classes
+        ch0 = feats[0].shape[-1]
+        c_box = max(16, ch0 // 4, REG_MAX * 4)
+        c_cls = max(ch0, min(nc, 100))
+        outs = []
+        for i, f in enumerate(feats):
+            box = ConvBnAct(c_box, 3, dtype=self.dtype,
+                            name=f"box{i}_0")(f, train)
+            box = ConvBnAct(c_box, 3, dtype=self.dtype,
+                            name=f"box{i}_1")(box, train)
+            box = nn.Conv(4 * REG_MAX, (1, 1), name=f"box{i}_out")(box)
+            cls = ConvBnAct(c_cls, 3, dtype=self.dtype,
+                            name=f"cls{i}_0")(f, train)
+            cls = ConvBnAct(c_cls, 3, dtype=self.dtype,
+                            name=f"cls{i}_1")(cls, train)
+            cls = nn.Conv(nc, (1, 1), name=f"cls{i}_out",
+                          bias_init=nn.initializers.constant(-4.6))(cls)
+            outs.append((box.astype(jnp.float32), cls.astype(jnp.float32)))
+        return outs
+
+
+class YoloV8(nn.Module):
+    cfg: YoloConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (B, H, W, 3) float in [0,1]. Returns list of per-level
+        (box_logits (B,h,w,64), cls_logits (B,h,w,nc)) at strides 8/16/32."""
+        feats = Backbone(self.cfg, self.dtype)(x, train)
+        feats = Neck(self.cfg, self.dtype)(feats, train)
+        return Head(self.cfg, self.dtype)(feats, train)
+
+
+# ── Anchors and decode ───────────────────────────────────────────────────
+
+def anchor_points(img_size: int,
+                  strides: Sequence[int] = STRIDES) -> Tuple[np.ndarray,
+                                                             np.ndarray]:
+    """Anchor centres (in stride units +0.5) and per-anchor stride.
+
+    Returns (anchors (N,2) float32 [x,y], strides (N,) float32) where
+    N = sum((img/stride)^2).
+    """
+    pts, sts = [], []
+    for s in strides:
+        n = img_size // s
+        ys, xs = np.mgrid[0:n, 0:n].astype(np.float32) + 0.5
+        pts.append(np.stack([xs.ravel(), ys.ravel()], 1))
+        sts.append(np.full(n * n, s, np.float32))
+    return np.concatenate(pts), np.concatenate(sts)
+
+
+def flatten_outputs(outs) -> Tuple[jax.Array, jax.Array]:
+    """Per-level maps -> (box_logits (B,N,4,REG_MAX), cls_logits (B,N,nc))."""
+    box_l, cls_l = [], []
+    for box, cls in outs:
+        b = box.shape[0]
+        box_l.append(box.reshape(b, -1, 4, REG_MAX))
+        cls_l.append(cls.reshape(b, -1, cls.shape[-1]))
+    return jnp.concatenate(box_l, 1), jnp.concatenate(cls_l, 1)
+
+
+def dfl_expectation(box_logits: jax.Array) -> jax.Array:
+    """(..., 4, REG_MAX) logits -> (..., 4) expected distances (l,t,r,b)."""
+    p = jax.nn.softmax(box_logits, axis=-1)
+    bins = jnp.arange(REG_MAX, dtype=jnp.float32)
+    return jnp.sum(p * bins, axis=-1)
+
+
+def decode(outs, img_size: int) -> Tuple[jax.Array, jax.Array]:
+    """Raw head outputs -> (boxes (B,N,4) xyxy pixels, scores (B,N,nc))."""
+    box_logits, cls_logits = flatten_outputs(outs)
+    anchors, strides = anchor_points(img_size)
+    anchors = jnp.asarray(anchors)
+    strides = jnp.asarray(strides)[:, None]
+    d = dfl_expectation(box_logits)                       # (B, N, 4) ltrb
+    x1y1 = (anchors - d[..., :2]) * strides
+    x2y2 = (anchors + d[..., 2:]) * strides
+    return jnp.concatenate([x1y1, x2y2], -1), jax.nn.sigmoid(cls_logits)
+
+
+def create(num_classes: int = 6, variant: str = "m",
+           dtype: Any = jnp.float32) -> YoloV8:
+    return YoloV8(YoloConfig(num_classes, variant), dtype)
+
+
+def init_variables(model: YoloV8, key: jax.Array, img_size: int = 64) -> dict:
+    init = jax.jit(lambda k, x: model.init(k, x, train=False))
+    return init(key, jnp.zeros((1, img_size, img_size, 3), jnp.float32))
+
+
+def param_count(variables: dict) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(variables["params"]))

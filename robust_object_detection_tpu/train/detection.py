@@ -1,0 +1,183 @@
+"""Detection training core: task-aligned assignment + YOLOv8 losses.
+
+The reference delegates all of this to Ultralytics (SURVEY.md §2.2: "TAL
+assigner, box/cls/dfl losses" inside `model.train()`). This is the TPU-native
+implementation: fully vectorised over (batch, anchors, gts) with static
+shapes — padded GTs (class −1) are masked, never branched on.
+
+Loss recipe (YOLOv8 defaults, mirrored from the reference run configs
+`experiments/yolo/baseline_clean/args.yaml`: box=7.5, cls=0.5, dfl=1.5):
+  * classification: BCE(pred logits, soft target scores), normalised by the
+    total target score,
+  * box: (1 − CIoU) weighted by the assigned target score,
+  * DFL: cross-entropy of the two integer bins bracketing each target
+    distance, same weighting.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import yolov8 as yolo_lib
+from ..ops import boxes as box_ops
+
+INF = 1e9
+
+
+def _candidates_in_gt(anchors: jax.Array, gt_boxes: jax.Array,
+                      eps: float = 1e-9) -> jax.Array:
+    """(N,2) anchor centres x (B,M,4) gt -> (B,M,N) bool: centre inside gt."""
+    x, y = anchors[:, 0], anchors[:, 1]
+    x1, y1, x2, y2 = (gt_boxes[..., 0:1], gt_boxes[..., 1:2],
+                      gt_boxes[..., 2:3], gt_boxes[..., 3:4])
+    return ((x[None, None] - x1 > eps) & (y[None, None] - y1 > eps) &
+            (x2 - x[None, None] > eps) & (y2 - y[None, None] > eps))
+
+
+def task_aligned_assign(scores: jax.Array, pred_boxes: jax.Array,
+                        anchors: jax.Array, gt_boxes: jax.Array,
+                        gt_classes: jax.Array, topk: int = 10,
+                        alpha: float = 0.5, beta: float = 6.0
+                        ) -> Dict[str, jax.Array]:
+    """Task-aligned label assignment (TAL).
+
+    scores: (B, N, nc) sigmoid probabilities; pred_boxes: (B, N, 4) xyxy px;
+    anchors: (N, 2) pixel centres; gt_boxes: (B, M, 4) xyxy px;
+    gt_classes: (B, M) int32 with -1 padding.
+
+    Returns dict with fg_mask (B,N) bool, target_boxes (B,N,4),
+    target_scores (B,N,nc), target_gt (B,N) int32.
+    """
+    b, n, nc = scores.shape
+    m = gt_boxes.shape[1]
+    gt_valid = gt_classes >= 0                                   # (B, M)
+    gt_cls = jnp.maximum(gt_classes, 0)
+
+    # alignment metric t = s^alpha * iou^beta per (gt, anchor)
+    iou = jax.vmap(box_ops.pairwise_iou)(gt_boxes, pred_boxes)   # (B, M, N)
+    iou = jnp.clip(iou, 0.0, 1.0)
+    cls_score = jnp.take_along_axis(
+        jnp.swapaxes(scores, 1, 2),                              # (B, nc, N)
+        gt_cls[..., None], axis=1)                               # (B, M, N)
+    metric = (cls_score ** alpha) * (iou ** beta)
+
+    in_gt = _candidates_in_gt(anchors, gt_boxes)                 # (B, M, N)
+    mask = in_gt & gt_valid[..., None]
+    metric = jnp.where(mask, metric, 0.0)
+
+    # top-k anchors per gt by metric (static k)
+    k = min(topk, n)
+    top_vals, top_idx = jax.lax.top_k(metric, k)                 # (B, M, k)
+    topk_mask = jnp.zeros((b, m, n), bool)
+    topk_mask = jax.vmap(jax.vmap(
+        lambda mask_row, idx, vals: mask_row.at[idx].set(vals > 0)))(
+        topk_mask, top_idx, top_vals)
+    pos = topk_mask & mask                                       # (B, M, N)
+
+    # resolve multi-gt anchors: keep the gt with the highest IoU
+    n_assign = pos.sum(axis=1)                                   # (B, N)
+    iou_masked = jnp.where(pos, iou, -INF)
+    best_gt = jnp.argmax(iou_masked, axis=1)                     # (B, N)
+    keep_multi = jax.nn.one_hot(best_gt, m, axis=1, dtype=bool)  # (B, M, N)
+    pos = jnp.where((n_assign > 1)[:, None, :], pos & keep_multi, pos)
+
+    fg_mask = pos.any(axis=1)                                    # (B, N)
+    target_gt = jnp.argmax(pos, axis=1)                          # (B, N)
+
+    # normalised soft target scores: t_hat = t * (max_iou / max_t) per gt
+    pos_metric = jnp.where(pos, metric, 0.0)
+    pos_iou = jnp.where(pos, iou, 0.0)
+    max_metric = pos_metric.max(axis=2, keepdims=True)           # (B, M, 1)
+    max_iou = pos_iou.max(axis=2, keepdims=True)
+    norm = pos_metric * max_iou / jnp.maximum(max_metric, 1e-9)  # (B, M, N)
+    anchor_score = jnp.take_along_axis(
+        norm, target_gt[:, None, :], axis=1)[:, 0]               # (B, N)
+
+    tb = jnp.take_along_axis(gt_boxes, target_gt[..., None], axis=1)
+    tc = jnp.take_along_axis(gt_cls, target_gt, axis=1)          # (B, N)
+    target_scores = (jax.nn.one_hot(tc, nc) *
+                     (anchor_score * fg_mask)[..., None])
+    return {"fg_mask": fg_mask,
+            "target_boxes": jnp.where(fg_mask[..., None], tb, 0.0),
+            "target_scores": target_scores,
+            "target_gt": target_gt}
+
+
+def dfl_loss(box_logits: jax.Array, target_ltrb: jax.Array,
+             weight: jax.Array) -> jax.Array:
+    """Distribution focal loss.
+
+    box_logits: (B, N, 4, REG_MAX); target_ltrb: (B, N, 4) in stride units,
+    clipped to [0, REG_MAX-1-eps]; weight: (B, N) per-anchor weights.
+    """
+    reg_max = box_logits.shape[-1]
+    t = jnp.clip(target_ltrb, 0.0, reg_max - 1 - 0.01)
+    tl = jnp.floor(t)
+    tr = tl + 1.0
+    wl = tr - t
+    wr = t - tl
+    logp = jax.nn.log_softmax(box_logits, axis=-1)
+    ll = jnp.take_along_axis(logp, tl[..., None].astype(jnp.int32),
+                             axis=-1)[..., 0]
+    lr = jnp.take_along_axis(logp, tr[..., None].astype(jnp.int32),
+                             axis=-1)[..., 0]
+    per_anchor = -(wl * ll + wr * lr).mean(axis=-1)              # (B, N)
+    return (per_anchor * weight).sum()
+
+
+@functools.partial(jax.jit, static_argnames=("img_size", "topk"))
+def yolo_loss(outs, gt_boxes: jax.Array, gt_classes: jax.Array,
+              img_size: int, box_w: float = 7.5, cls_w: float = 0.5,
+              dfl_w: float = 1.5, topk: int = 10) -> Tuple[jax.Array, Dict]:
+    """Full YOLOv8 loss from raw head outputs.
+
+    outs: list of per-level (box_logits, cls_logits); gt_boxes: (B, M, 4)
+    xyxy pixels; gt_classes: (B, M) with -1 padding.
+    """
+    box_logits, cls_logits = yolo_lib.flatten_outputs(outs)
+    anchors_np, strides_np = yolo_lib.anchor_points(img_size)
+    anchors = jnp.asarray(anchors_np)
+    strides = jnp.asarray(strides_np)[:, None]
+    anchors_px = anchors * strides
+
+    d = yolo_lib.dfl_expectation(box_logits)
+    pred_boxes = jnp.concatenate(
+        [(anchors - d[..., :2]) * strides, (anchors + d[..., 2:]) * strides],
+        -1)
+    scores = jax.nn.sigmoid(cls_logits)
+
+    assign = task_aligned_assign(
+        jax.lax.stop_gradient(scores), jax.lax.stop_gradient(pred_boxes),
+        anchors_px, gt_boxes, gt_classes, topk=topk)
+    ts = assign["target_scores"]
+    fg = assign["fg_mask"]
+    tsum = jnp.maximum(ts.sum(), 1.0)
+
+    # cls: BCE over all anchors
+    cls_loss = optax_bce(cls_logits, ts).sum() / tsum
+
+    # box: CIoU on foreground, weighted by target score
+    w = ts.sum(-1) * fg                                          # (B, N)
+    ciou = box_ops.ciou(pred_boxes, assign["target_boxes"])   # elementwise
+    box_loss = ((1.0 - ciou) * w).sum() / tsum
+
+    # dfl: targets as ltrb distances in stride units
+    tb = assign["target_boxes"]
+    t_ltrb = jnp.concatenate(
+        [anchors - tb[..., :2] / strides, tb[..., 2:] / strides - anchors],
+        -1)
+    dfl = dfl_loss(box_logits, t_ltrb, w) / tsum
+
+    total = box_w * box_loss + cls_w * cls_loss + dfl_w * dfl
+    return total, {"box": box_loss, "cls": cls_loss, "dfl": dfl,
+                   "num_fg": fg.sum()}
+
+
+def optax_bce(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Elementwise binary cross-entropy with logits (numerically stable)."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))

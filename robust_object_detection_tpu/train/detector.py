@@ -1,0 +1,238 @@
+"""YOLO detector training driver (baseline / corruption-augmented).
+
+Reference counterparts: train_yolo_augmented.py (Ultralytics one-call trainer
+with the corruption monkey-patch) and the no-patch baseline runs. Here both
+modes are the SAME jitted sharded step with a static `augment` flag: the
+corruption runs on device inside the step (ops/corrupt.py random_corruption,
+p=0.5 — augmentations.py:60-74 semantics), so "baseline vs augmented" is a
+config bit, not a monkey-patch.
+
+Optimisation follows the reference run configs
+(experiments/yolo/baseline_clean/args.yaml: SGD lr0=0.01, lrf=0.01,
+momentum=0.937, weight_decay=0.0005, warmup_epochs=3) with linear decay and
+bias/BN exempt from weight decay. EMA parameters (decay 0.9999) are kept for
+evaluation, as Ultralytics does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import artifacts
+from ..core.checkpoint import CheckpointManager
+from ..core.config import CorruptionConfig, ExperimentConfig
+from ..data import pipeline as pipe
+from ..models import yolov8 as yolo_lib
+from ..ops import corrupt as corrupt_ops
+from ..ops import nms as nms_ops
+from ..parallel import mesh as mesh_lib
+from . import detection as det_loss
+
+
+@dataclasses.dataclass
+class DetTrainState:
+    params: dict
+    batch_stats: dict
+    ema_params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+    def tree_flatten(self):
+        return ((self.params, self.batch_stats, self.ema_params,
+                 self.opt_state, self.step), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    DetTrainState, DetTrainState.tree_flatten, DetTrainState.tree_unflatten)
+
+
+def make_optimizer(lr0: float = 0.01, lrf: float = 0.01,
+                   momentum: float = 0.937, weight_decay: float = 5e-4,
+                   warmup_steps: int = 100, total_steps: int = 10000):
+    """SGD + nesterov, linear decay lr0 -> lr0*lrf, linear warmup,
+    weight decay masked off bias/BN (the Ultralytics param-group split)."""
+    sched = optax.join_schedules(
+        [optax.linear_schedule(0.0, lr0, warmup_steps),
+         optax.linear_schedule(lr0, lr0 * lrf,
+                               max(1, total_steps - warmup_steps))],
+        [warmup_steps])
+
+    def decay_mask(params):
+        def is_weight(path, x):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            return name == "kernel" and x.ndim > 1
+        return jax.tree_util.tree_map_with_path(is_weight, params)
+
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay, mask=decay_mask),
+        optax.sgd(sched, momentum=momentum, nesterov=True))
+    return tx, sched
+
+
+def make_train_step(model, tx, img_size: int, corruption: CorruptionConfig,
+                    augment: bool, ema_decay: float = 0.9999):
+    """Sharded train step: uint8 batch (+padded GT) -> loss -> update."""
+
+    def step(state: DetTrainState, images_u8, gt_boxes, gt_classes, key):
+        k = jax.random.fold_in(key, state.step)
+        x = images_u8.astype(jnp.float32)
+        if augment:
+            x, _ = corrupt_ops.random_corruption(x, k, corruption)
+        x = x / 255.0
+
+        def loss_fn(params):
+            outs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"])
+            loss, metrics = det_loss.yolo_loss(outs, gt_boxes, gt_classes,
+                                               img_size)
+            return loss, (mutated["batch_stats"], metrics)
+
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # EMA with warmup ramp (Ultralytics: d = decay*(1-exp(-step/2000)))
+        d = ema_decay * (1.0 - jnp.exp(-(state.step + 1) / 2000.0))
+        new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                               state.ema_params, new_params)
+        metrics = dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+        return DetTrainState(new_params, new_stats, new_ema, new_opt,
+                             state.step + 1), metrics
+
+    return step
+
+
+def make_predict_step(model, img_size: int, conf: float = 0.001,
+                      iou: float = 0.7, max_det: int = 300,
+                      num_candidates: int = 4096, use_ema: bool = True):
+    """Jittable inference: uint8 batch -> NMS'd detections (fixed capacity)."""
+
+    def step(state: DetTrainState, images_u8):
+        params = state.ema_params if use_ema else state.params
+        x = images_u8.astype(jnp.float32) / 255.0
+        outs = model.apply({"params": params,
+                            "batch_stats": state.batch_stats},
+                           x, train=False)
+        boxes, scores = yolo_lib.decode(outs, img_size)
+        # class-wise max (Ultralytics multi_label=False val path)
+        best_cls = jnp.argmax(scores, -1)
+        best_score = jnp.max(scores, -1)
+        return nms_ops.batched_nms(
+            boxes, best_score, best_cls,
+            num_candidates=min(num_candidates, boxes.shape[1]),
+            max_outputs=max_det, iou_thresh=iou, score_thresh=conf)
+
+    return step
+
+
+def init_state(model, key, img_size: int, tx) -> DetTrainState:
+    variables = yolo_lib.init_variables(model, key, img_size)
+    return DetTrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        ema_params=jax.tree.map(jnp.copy, variables["params"]),
+        opt_state=tx.init(variables["params"]), step=jnp.asarray(0))
+
+
+def train(cfg: ExperimentConfig, data_root: str | Path,
+          out_dir: str | Path, augment: bool = False,
+          variant: str = "m", epochs: Optional[int] = None,
+          img_size: Optional[int] = None, batch_size: Optional[int] = None,
+          max_steps: Optional[int] = None, max_boxes: int = 600) -> dict:
+    """Train a YOLO detector on a COCO-layout dataset root."""
+    tcfg = cfg.train
+    epochs = epochs or tcfg.epochs
+    img_size = img_size or cfg.data.image_size
+    batch_size = batch_size or tcfg.batch_size
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    artifacts.write_json(out_dir / "config.json", dict(
+        dataclasses.asdict(cfg), augment=augment, variant=variant,
+        img_size=img_size, batch_size=batch_size, epochs=epochs))
+
+    mesh = mesh_lib.make_mesh(cfg.mesh)
+    ctx = mesh_lib.MeshContext(mesh)
+
+    train_samples = pipe.index_coco(data_root, "train")
+    steps_per_epoch = max(1, len(train_samples) // batch_size)
+    total_steps = epochs * steps_per_epoch
+
+    model = yolo_lib.create(6, variant)
+    tx, sched = make_optimizer(lr0=0.01, warmup_steps=min(
+        3 * steps_per_epoch, max(1, total_steps // 10)),
+        total_steps=total_steps)
+    state = init_state(model, jax.random.key(tcfg.seed), img_size, tx)
+    state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
+
+    train_step = jax.jit(
+        make_train_step(model, tx, img_size, cfg.corruption, augment),
+        in_shardings=(ctx.replicated, ctx.data, ctx.data, ctx.data, None),
+        out_shardings=(ctx.replicated, ctx.replicated),
+        donate_argnums=(0,))
+
+    ckpt = CheckpointManager(out_dir)
+    hist = artifacts.HistoryLogger(out_dir)
+    key = jax.random.key(tcfg.seed)
+    steps = 0
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        losses = []
+        batches = pipe.prefetch(pipe.make_batches(
+            train_samples, batch_size, img_size, max_boxes=max_boxes,
+            shuffle=True, seed=tcfg.seed + epoch, drop_remainder=True))
+        for batch in batches:
+            args = pipe.device_put_sharded(batch, ctx.data)
+            state, metrics = train_step(state, args[0], args[1], args[2], key)
+            losses.append(metrics["loss"])
+            steps += 1
+            if max_steps and steps >= max_steps:
+                break
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        hist.log(epoch=epoch, train_loss=mean_loss,
+                 lr=float(sched(steps)), epoch_sec=round(time.time() - t0, 2))
+        ckpt.save_last(epoch, _ckpt_payload(state))
+        if max_steps and steps >= max_steps:
+            break
+    ckpt.save_best(epochs, _ckpt_payload(state), 0.0)  # final = best for now
+    ckpt.close()
+    return {"out_dir": str(out_dir), "steps": steps,
+            "final_loss": mean_loss}
+
+
+def _ckpt_payload(state: DetTrainState) -> dict:
+    return {"params": state.params, "batch_stats": state.batch_stats,
+            "ema_params": state.ema_params}
+
+
+def load_checkpoint(out_dir: str | Path, variant: str = "m",
+                    img_size: int = 64):
+    """Load a trained detector checkpoint -> (model, DetTrainState-like)."""
+    model = yolo_lib.create(6, variant)
+    variables = yolo_lib.init_variables(model, jax.random.key(0), img_size)
+    ckpt = CheckpointManager(out_dir)
+    target = {"params": variables["params"],
+              "batch_stats": variables["batch_stats"],
+              "ema_params": variables["params"]}
+    restored = ckpt.restore_best(target)
+    if restored is None:
+        latest = ckpt.restore_last(target)
+        if latest is None:
+            ckpt.close()
+            raise FileNotFoundError(f"no checkpoint under {out_dir}")
+        restored = latest["state"]
+    ckpt.close()
+    state = DetTrainState(restored["params"], restored["batch_stats"],
+                          restored["ema_params"], None, jnp.asarray(0))
+    return model, state

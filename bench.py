@@ -1,0 +1,84 @@
+"""Round benchmark: yolov8m corruption-augmented training throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the reference's headline training config — YOLOv8m, imgsz=1024,
+50%-probability random corruption augmentation (train_yolo_augmented.py:21-42)
+— as our sharded jitted train step (corruption on device, bf16 convs,
+task-aligned assignment, CIoU/BCE/DFL losses, SGD+EMA update).
+
+Baseline: the reference's published wall-clock for the same workload —
+100 epochs x 6,471 VisDrone-DET train images in 47,972 s on an RTX 3070 Ti
+(experiments/yolo/augmented/results.csv final row; BASELINE.md) —
+i.e. 13.49 images/sec including its input pipeline.
+
+This bench measures the steady-state step rate on ONE TPU chip, fully
+synchronous (metrics fetched to host every step — the axon tunnel makes
+block_until_ready unreliable for timing).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from robust_object_detection_tpu.core.config import CorruptionConfig
+    from robust_object_detection_tpu.models import yolov8 as yolo_lib
+    from robust_object_detection_tpu.train import detector as det
+
+    BASELINE_IMG_PER_SEC = 100 * 6471 / 47972.0  # 13.49
+    IMG_SIZE = 1024
+    BATCH = 16          # largest that compiles on v5e-1 (bs=32 crashes the
+    #                     axon AOT compile helper as of r1)
+    MAX_BOXES = 600
+
+    model = yolo_lib.create(6, "m", dtype=jnp.bfloat16)
+    tx = optax.sgd(0.01, momentum=0.937, nesterov=True)
+    state = det.init_state(model, jax.random.key(0), 256, tx)
+    step = jax.jit(
+        det.make_train_step(model, tx, IMG_SIZE, CorruptionConfig(),
+                            augment=True),
+        donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(
+        0, 255, (BATCH, IMG_SIZE, IMG_SIZE, 3), dtype=np.uint8))
+    gb = np.zeros((BATCH, MAX_BOXES, 4), np.float32)
+    gc = np.full((BATCH, MAX_BOXES), -1, np.int32)
+    for i in range(BATCH):
+        m = 80     # VisDrone mean ~54 anns/img
+        xy = rng.rand(m, 2) * (IMG_SIZE - 100)
+        wh = rng.rand(m, 2) * 60 + 8
+        gb[i, :m] = np.concatenate([xy, xy + wh], 1)
+        gc[i, :m] = rng.randint(0, 6, m)
+    gb, gc = jnp.asarray(gb), jnp.asarray(gc)
+    key = jax.random.key(0)
+
+    # warmup / compile
+    state, metrics = step(state, images, gb, gc, key)
+    float(jax.device_get(metrics["loss"]))
+
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        state, metrics = step(state, images, gb, gc, key)
+        float(jax.device_get(metrics["loss"]))   # full sync each step
+    dt = (time.time() - t0) / n
+    img_per_sec = BATCH / dt
+
+    print(json.dumps({
+        "metric": "yolov8m_augmented_train_images_per_sec_1024px_1chip",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,11 +89,19 @@ def apply_noise(img: jax.Array, key: jax.Array, sigma: float = 15.0,
     return image_ops.quantize_trunc(x) if quantize else x
 
 
-@functools.partial(jax.jit, static_argnames=("k", "angle_deg", "quantize"))
+@functools.partial(jax.jit, static_argnames=("k", "angle_deg", "quantize",
+                                             "fast"))
 def apply_motion_blur(img: jax.Array, k: int = 9, angle_deg: float = 0.0,
-                      quantize: bool = True) -> jax.Array:
+                      quantize: bool = True, fast: bool = False) -> jax.Array:
     """Depthwise k x k motion-blur correlation, reflect-101 border
-    (augmentations.py:36-38; cv2.filter2D default border)."""
+    (augmentations.py:36-38; cv2.filter2D default border).
+
+    fast=False runs the conv at Precision.HIGHEST — the TPU default runs f32
+    convs through bf16 passes, costing ~0.4/255 error, too much for uint8
+    bit-parity with cv2 (frozen testsets). fast=True keeps the default
+    precision for training-time augmentation, where only distributional
+    parity matters.
+    """
     x = img.astype(jnp.float32)
     squeeze = x.ndim == 3
     if squeeze:
@@ -104,12 +112,12 @@ def apply_motion_blur(img: jax.Array, k: int = 9, angle_deg: float = 0.0,
     kern = jnp.tile(kern[:, :, None, None], (1, 1, 1, c))
     pad = k // 2
     x = image_ops.pad_reflect101(x, pad, pad)
-    # Precision.HIGHEST: the TPU default runs f32 convs through bf16 passes,
-    # which costs ~0.4/255 error — too much for uint8 bit-parity with cv2.
     y = jax.lax.conv_general_dilated(
         x, kern, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+        feature_group_count=c,
+        precision=(jax.lax.Precision.DEFAULT if fast
+                   else jax.lax.Precision.HIGHEST))
     if quantize:
         y = image_ops.quantize_round(y)
     return y[0] if squeeze else y
@@ -134,14 +142,16 @@ def apply_lowres(img: jax.Array, factor: float = 0.5,
 
 # ── Per-image random corruption for training pipelines ───────────────────
 
-@functools.partial(jax.jit, static_argnames=("cfg", "quantize"))
+@functools.partial(jax.jit, static_argnames=("cfg", "quantize", "fast"))
 def random_corruption(img: jax.Array, key: jax.Array,
                       cfg: CorruptionConfig = CorruptionConfig(),
-                      quantize: bool = True) -> tuple[jax.Array, jax.Array]:
+                      quantize: bool = True,
+                      fast: bool = False) -> tuple[jax.Array, jax.Array]:
     """Corrupt each image of an NHWC batch with probability `cfg.prob`,
     choosing uniformly among noise/blur/lowres (augmentations.py:48-56,60-74).
 
     Returns (batch, choice) where choice[i] in {CLEAN, NOISE, BLUR, LOWRES}.
+    fast=True relaxes conv precision for training (see apply_motion_blur).
     """
     n = img.shape[0]
     k_apply, k_choice, k_noise = jax.random.split(key, 3)
@@ -152,7 +162,7 @@ def random_corruption(img: jax.Array, key: jax.Array,
     x = img.astype(jnp.float32)
     noised = apply_noise(x, k_noise, cfg.noise_sigma, quantize=quantize)
     blurred = apply_motion_blur(x, cfg.blur_kernel, cfg.blur_angle_deg,
-                                quantize=quantize)
+                                quantize=quantize, fast=fast)
     low = apply_lowres(x, cfg.downscale_factor, quantize=quantize)
 
     stacked = jnp.stack([x, noised, blurred, low], axis=0)  # (4, N, H, W, C)
@@ -161,15 +171,15 @@ def random_corruption(img: jax.Array, key: jax.Array,
     return out, choice
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "quantize"))
+@functools.partial(jax.jit, static_argnames=("cfg", "quantize", "fast"))
 def corrupt_variant(img: jax.Array, variant: jax.Array, key: jax.Array,
                     cfg: CorruptionConfig = CorruptionConfig(),
-                    quantize: bool = True) -> jax.Array:
+                    quantize: bool = True, fast: bool = False) -> jax.Array:
     """Apply a fixed per-image corruption id (for testset-style batches)."""
     x = img.astype(jnp.float32)
     noised = apply_noise(x, key, cfg.noise_sigma, quantize=quantize)
     blurred = apply_motion_blur(x, cfg.blur_kernel, cfg.blur_angle_deg,
-                                quantize=quantize)
+                                quantize=quantize, fast=fast)
     low = apply_lowres(x, cfg.downscale_factor, quantize=quantize)
     stacked = jnp.stack([x, noised, blurred, low], axis=0)
     variant = jnp.broadcast_to(jnp.asarray(variant), (img.shape[0],))

@@ -133,7 +133,7 @@ def corrupt_uniform3(img: jax.Array, key: jax.Array,
     n = img.shape[0]
     choice = jax.random.randint(k_choice, (n,), corrupt_ops.NOISE,
                                 corrupt_ops.LOWRES + 1)
-    return corrupt_ops.corrupt_variant(img, choice, k_noise, cfg)
+    return corrupt_ops.corrupt_variant(img, choice, k_noise, cfg, fast=True)
 
 
 def make_train_step(model, tx, corruption: CorruptionConfig,

@@ -51,11 +51,18 @@ def area(b: jax.Array) -> jax.Array:
 
 
 def pairwise_iou(a: jax.Array, b: jax.Array) -> jax.Array:
-    """IoU matrix between (..., M, 4) and (..., N, 4) xyxy -> (..., M, N)."""
-    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
-    rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
-    wh = jnp.maximum(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
+    """IoU matrix between (..., M, 4) and (..., N, 4) xyxy -> (..., M, N).
+
+    Computed component-wise: a fused (M, N, 2) intermediate would get its
+    trailing dim of 2 padded to 128 lanes by TPU tiling — a 64x memory
+    expansion (observed: 15 GB for a (3960, 3960, 2) temp). Keeping every
+    intermediate at (M, N) makes the op HBM-exact.
+    """
+    ax1, ay1, ax2, ay2 = (a[..., :, None, i] for i in range(4))
+    bx1, by1, bx2, by2 = (b[..., None, :, i] for i in range(4))
+    iw = jnp.maximum(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0.0)
+    ih = jnp.maximum(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0.0)
+    inter = iw * ih
     union = area(a)[..., :, None] + area(b)[..., None, :] - inter
     return inter / jnp.maximum(union, 1e-9)
 
@@ -66,10 +73,11 @@ def pairwise_iou_xywh_coco(a: jax.Array, b: jax.Array,
     crowd GT the denominator is the detection area only."""
     ax = xywh_to_xyxy(a)
     bx = xywh_to_xyxy(b)
-    lt = jnp.maximum(ax[..., :, None, :2], bx[..., None, :, :2])
-    rb = jnp.minimum(ax[..., :, None, 2:], bx[..., None, :, 2:])
-    wh = jnp.maximum(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
+    ax1, ay1, ax2, ay2 = (ax[..., :, None, i] for i in range(4))
+    bx1, by1, bx2, by2 = (bx[..., None, :, i] for i in range(4))
+    iw = jnp.maximum(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0.0)
+    ih = jnp.maximum(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0.0)
+    inter = iw * ih
     area_a = (a[..., 2] * a[..., 3])[..., :, None]
     area_b = (b[..., 2] * b[..., 3])[..., None, :]
     union = area_a + area_b - inter

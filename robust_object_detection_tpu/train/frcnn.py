@@ -1,0 +1,292 @@
+"""Faster R-CNN training and inference steps (static shapes, sharded).
+
+Reference counterpart: train_frcnn_baseline.py / train_frcnn_augmented.py
+(SGD lr=0.005 momentum=0.9 wd=5e-4, StepLR(8, 0.1), 24 epochs, batch 2,
+losses from torchvision's RPN + RoI heads). The TPU version keeps the loss
+recipe (BCE objectness + smooth-L1 RPN, CE + smooth-L1 box head with
+balanced sampling) but runs the whole thing as one jitted sharded step with
+on-device corruption for the augmented mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import artifacts
+from ..core.checkpoint import CheckpointManager
+from ..core.config import CorruptionConfig, ExperimentConfig
+from ..data import pipeline as pipe
+from ..models import frcnn as F
+from ..ops import corrupt as corrupt_ops
+from ..ops import nms as nms_ops
+from ..parallel import mesh as mesh_lib
+
+HEAD_DELTA_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+
+
+def smooth_l1(x: jax.Array, beta: float) -> jax.Array:
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def rpn_loss(obj: jax.Array, rpn_deltas: jax.Array, anchors: jax.Array,
+             gt_boxes: jax.Array, gt_classes: jax.Array,
+             cfg: F.FrcnnConfig, key: jax.Array) -> Dict[str, jax.Array]:
+    matched, labels = F.match_anchors(anchors, gt_boxes, gt_classes,
+                                      cfg.rpn_pos_iou, cfg.rpn_neg_iou)
+    pos, neg = F.sample_targets(labels, cfg.rpn_batch, cfg.rpn_pos_frac, key)
+    sampled = pos | neg
+    n = jnp.maximum(sampled.sum(), 1.0)
+
+    tgt_boxes = jnp.take_along_axis(gt_boxes, matched[..., None], axis=1)
+    tgt_deltas = F.encode_deltas(tgt_boxes, anchors[None])
+    box_l = (smooth_l1(rpn_deltas - tgt_deltas, 1.0 / 9.0).sum(-1)
+             * pos).sum() / n
+    obj_l = (optax.sigmoid_binary_cross_entropy(
+        obj, (labels == 1).astype(jnp.float32)) * sampled).sum() / n
+    return {"rpn_obj": obj_l, "rpn_box": box_l}
+
+
+def roi_targets(proposals: jax.Array, prop_valid: jax.Array,
+                gt_boxes: jax.Array, gt_classes: jax.Array,
+                cfg: F.FrcnnConfig, key: jax.Array):
+    """Append GTs to proposals, match, sample a fixed RoI batch.
+
+    Returns (rois (B, R, 4), roi_valid, cls_target (B, R) int32 [0=bg],
+    delta_target (B, R, 4), pos_mask (B, R)).
+    """
+    k_match, k_gather = jax.random.split(key)
+    # candidate set: proposals + gt boxes (torchvision add_gt_to_proposals)
+    cand = jnp.concatenate([proposals, gt_boxes], axis=1)     # (B, P+M, 4)
+    cand_valid = jnp.concatenate([prop_valid, gt_classes >= 0], axis=1)
+
+    valid_gt = gt_classes >= 0
+    iou = jax.vmap(F.box_ops.pairwise_iou)(cand, gt_boxes)    # (B, C, M)
+    iou = jnp.where(valid_gt[:, None, :], iou, -1.0)
+    best = iou.max(-1)
+    matched = iou.argmax(-1)
+    labels = jnp.where(best >= cfg.roi_pos_iou, 1, 0)         # no ignore band
+    labels = jnp.where(cand_valid, labels, -1)                # pad = ignore
+
+    pos, neg = F.sample_targets(labels, cfg.roi_batch, cfg.roi_pos_frac,
+                                k_match)
+    sampled = pos | neg
+    # compact sampled candidates into a fixed R slots
+    r = cfg.roi_batch
+    pri = (pos.astype(jnp.float32) * 2.0 + neg.astype(jnp.float32)
+           + jax.random.uniform(k_gather, sampled.shape, maxval=0.5))
+    pri = jnp.where(sampled, pri, -1.0)
+    _, idx = jax.lax.top_k(pri, r)                            # (B, R)
+    take = lambda x: jnp.take_along_axis(x, idx, axis=1)
+    rois = jnp.take_along_axis(cand, idx[..., None], axis=1)
+    roi_valid = take(sampled)
+    pos_s = take(pos)
+    matched_s = take(matched)
+    tgt_boxes = jnp.take_along_axis(gt_boxes, matched_s[..., None], axis=1)
+    tgt_cls = jnp.take_along_axis(jnp.maximum(gt_classes, 0), matched_s,
+                                  axis=1) + 1                  # 1..6
+    cls_target = jnp.where(pos_s, tgt_cls, 0)                 # bg = 0
+    delta_target = F.encode_deltas(tgt_boxes, rois, HEAD_DELTA_WEIGHTS)
+    return rois, roi_valid, cls_target, delta_target, pos_s
+
+
+def head_loss(scores: jax.Array, box_deltas: jax.Array,
+              cls_target: jax.Array, delta_target: jax.Array,
+              roi_valid: jax.Array, pos_mask: jax.Array
+              ) -> Dict[str, jax.Array]:
+    n = jnp.maximum(roi_valid.sum(), 1.0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(scores, cls_target)
+    cls_l = (ce * roi_valid).sum() / n
+    # per-class deltas: select the target class channel
+    sel = jnp.take_along_axis(
+        box_deltas, cls_target[..., None, None].astype(jnp.int32), axis=2
+    )[..., 0, :]
+    box_l = (smooth_l1(sel - delta_target, 1.0).sum(-1)
+             * pos_mask).sum() / n
+    return {"head_cls": cls_l, "head_box": box_l}
+
+
+@dataclasses.dataclass
+class FrcnnTrainState:
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+    def tree_flatten(self):
+        return ((self.params, self.batch_stats, self.opt_state, self.step),
+                None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    FrcnnTrainState, FrcnnTrainState.tree_flatten,
+    FrcnnTrainState.tree_unflatten)
+
+
+def make_train_step(model: F.FasterRCNN, tx, img_size: int,
+                    corruption: Optional[CorruptionConfig], augment: bool):
+    cfg = model.cfg
+    anchors = jnp.asarray(np.concatenate(F._anchors_hw_major(img_size)))
+
+    def step(state: FrcnnTrainState, images_u8, gt_boxes, gt_classes, key):
+        k = jax.random.fold_in(key, state.step)
+        k_corr, k_rpn, k_roi = jax.random.split(k, 3)
+        x = images_u8.astype(jnp.float32)
+        if augment:
+            x, _ = corrupt_ops.random_corruption(x, k_corr, corruption,
+                                                 fast=True)
+        x = x / 255.0
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (pyramid, obj, rpn_deltas), mut = model.apply(
+                variables, x, train=True, mutable=["batch_stats"],
+                method=model.extract)
+            losses = rpn_loss(obj, rpn_deltas, anchors, gt_boxes, gt_classes,
+                              cfg, k_rpn)
+            proposals, prop_valid = F.generate_proposals(
+                jax.lax.stop_gradient(obj),
+                jax.lax.stop_gradient(rpn_deltas), img_size, cfg)
+            rois, roi_valid, cls_t, delta_t, pos = roi_targets(
+                proposals, prop_valid, gt_boxes, gt_classes, cfg, k_roi)
+            (scores, box_deltas), mut2 = model.apply(
+                {"params": params, "batch_stats": mut["batch_stats"]},
+                pyramid, rois, train=True, mutable=["batch_stats"],
+                method=model.roi_forward)
+            losses.update(head_loss(scores, box_deltas, cls_t, delta_t,
+                                    roi_valid, pos))
+            total = sum(losses.values())
+            return total, (mut2["batch_stats"], losses)
+
+        (loss, (new_stats, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses, loss=loss, grad_norm=optax.global_norm(grads))
+        return FrcnnTrainState(new_params, new_stats, new_opt,
+                               state.step + 1), metrics
+
+    return step
+
+
+def make_predict_step(model: F.FasterRCNN, img_size: int):
+    """uint8 batch -> per-image fixed-capacity detections."""
+    cfg = model.cfg
+
+    def step(state, images_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        pyramid, obj, rpn_deltas = model.apply(
+            variables, x, train=False, method=model.extract)
+        proposals, prop_valid = F.generate_proposals(obj, rpn_deltas,
+                                                     img_size, cfg)
+        scores, box_deltas = model.apply(variables, pyramid, proposals,
+                                         train=False,
+                                         method=model.roi_forward)
+        probs = jax.nn.softmax(scores, -1)                  # (B, P, K)
+        k = cfg.num_classes
+        boxes_k = F.decode_deltas(box_deltas, proposals[..., None, :],
+                                  HEAD_DELTA_WEIGHTS)       # (B, P, K, 4)
+        boxes_k = F.box_ops.clip_to_image(boxes_k, img_size, img_size)
+        b, p = probs.shape[:2]
+        # drop bg (class 0); flatten (P, K-1) candidates
+        fg_probs = probs[..., 1:] * prop_valid[..., None]
+        cand_scores = fg_probs.reshape(b, -1)
+        cand_boxes = boxes_k[..., 1:, :].reshape(b, -1, 4)
+        cand_classes = jnp.broadcast_to(
+            jnp.arange(k - 1, dtype=jnp.int32)[None, None],
+            (b, p, k - 1)).reshape(b, -1)
+        return nms_ops.batched_nms(
+            cand_boxes, cand_scores, cand_classes,
+            num_candidates=min(2048, cand_scores.shape[1]),
+            max_outputs=cfg.box_detections, iou_thresh=cfg.box_nms_thresh,
+            score_thresh=cfg.box_score_thresh)
+
+    return step
+
+
+def init_state(model: F.FasterRCNN, key, img_size: int, tx
+               ) -> FrcnnTrainState:
+    init = jax.jit(lambda k, x: model.init(k, x, train=False))
+    variables = init(key, jnp.zeros((1, img_size, img_size, 3), jnp.float32))
+    return FrcnnTrainState(variables["params"], variables["batch_stats"],
+                           tx.init(variables["params"]), jnp.asarray(0))
+
+
+def make_optimizer(lr: float = 0.005, momentum: float = 0.9,
+                   weight_decay: float = 5e-4, step_epochs: int = 8,
+                   steps_per_epoch: int = 1000, gamma: float = 0.1):
+    """SGD + StepLR(8, 0.1) (train_frcnn_baseline.py:149-153)."""
+    boundaries = {step_epochs * steps_per_epoch: gamma,
+                  2 * step_epochs * steps_per_epoch: gamma}
+    sched = optax.piecewise_constant_schedule(lr, boundaries)
+    tx = optax.chain(optax.add_decayed_weights(weight_decay),
+                     optax.sgd(sched, momentum=momentum))
+    return tx, sched
+
+
+def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
+          augment: bool = False, epochs: int = 24, img_size: int = 1024,
+          batch_size: int = 2, max_steps: Optional[int] = None,
+          max_boxes: int = 600) -> dict:
+    """Full FRCNN training driver (reference: 24 epochs, batch 2)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    mesh = mesh_lib.make_mesh(cfg.mesh)
+    ctx = mesh_lib.MeshContext(mesh)
+
+    samples = pipe.index_coco(data_root, "train")
+    steps_per_epoch = max(1, len(samples) // batch_size)
+    model = F.FasterRCNN()
+    tx, sched = make_optimizer(steps_per_epoch=steps_per_epoch)
+    state = init_state(model, jax.random.key(cfg.train.seed), img_size, tx)
+    state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
+    step_fn = jax.jit(
+        make_train_step(model, tx, img_size, cfg.corruption, augment),
+        in_shardings=(ctx.replicated, ctx.data, ctx.data, ctx.data, None),
+        out_shardings=(ctx.replicated, ctx.replicated),
+        donate_argnums=(0,))
+
+    ckpt = CheckpointManager(out_dir)
+    hist = artifacts.HistoryLogger(out_dir)
+    key = jax.random.key(cfg.train.seed)
+    steps = 0
+    mean_loss = 0.0
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        losses = []
+        for batch in pipe.prefetch(pipe.make_batches(
+                samples, batch_size, img_size, max_boxes=max_boxes,
+                shuffle=True, seed=cfg.train.seed + epoch,
+                drop_remainder=True)):
+            args = pipe.device_put_sharded(batch, ctx.data)
+            state, m = step_fn(state, args[0], args[1], args[2], key)
+            losses.append(m["loss"])
+            steps += 1
+            if max_steps and steps >= max_steps:
+                break
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        hist.log(epoch=epoch, train_loss=mean_loss, lr=float(sched(steps)),
+                 epoch_sec=round(time.time() - t0, 2))
+        ckpt.save_last(epoch, {"params": state.params,
+                               "batch_stats": state.batch_stats})
+        if max_steps and steps >= max_steps:
+            break
+    ckpt.save_best(epochs, {"params": state.params,
+                            "batch_stats": state.batch_stats}, 0.0)
+    ckpt.close()
+    return {"out_dir": str(out_dir), "steps": steps, "final_loss": mean_loss}

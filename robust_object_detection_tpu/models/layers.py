@@ -19,12 +19,14 @@ from flax import linen as nn
 
 
 class ConvBnAct(nn.Module):
-    """Conv2d(bias=False) + BatchNorm + SiLU — Ultralytics' `Conv` block."""
+    """Conv2d(bias=False) + BatchNorm + activation (YOLO `Conv` uses SiLU;
+    HGNetv2 blocks use ReLU via `act_fn`)."""
     features: int
     kernel: int = 1
     stride: int = 1
     groups: int = 1
     act: bool = True
+    act_fn: Any = None           # defaults to silu
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -37,7 +39,7 @@ class ConvBnAct(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=jnp.float32)(x)
         if self.act:
-            x = nn.silu(x)
+            x = (self.act_fn or nn.silu)(x)
         return x
 
 

@@ -1,0 +1,289 @@
+"""RT-DETR training: Hungarian set matching + VFL/L1/GIoU losses.
+
+The reference gets this from Ultralytics' RTDETRDetectionLoss (SURVEY.md
+§2.2 "set-matching loss"); here it is vectorised JAX: the assignment is
+`optax.assignment.hungarian_algorithm` vmapped over the batch (rectangular
+cost over the GT capacity; padded GTs carry a prohibitive cost and matches
+to them are masked out), and the loss is varifocal classification with
+IoU-weighted targets + L1 + GIoU on matched pairs, applied to every decoder
+layer and the encoder proposals (deep supervision).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import CorruptionConfig
+from ..models import rtdetr as R
+from ..ops import boxes as box_ops
+from ..ops import corrupt as corrupt_ops
+
+BIG = 1e6
+W_CLASS, W_L1, W_GIOU = 1.0, 5.0, 2.0
+
+
+def _solve_assignment(cost: jax.Array, exact: bool = False):
+    """Batched one-to-one assignment, on device.
+
+    exact=True runs optax's Hungarian (optimal) — a sequential while-loop
+    that costs ~170 ms per call on v5e; with 7 matchings per train step
+    that dominates the step. The default is a vectorised GREEDY matcher:
+    repeatedly take the globally cheapest (query, gt) pair and mask its row
+    and column. It is batched (one argmin over the whole cost per
+    iteration, batch-parallel), bounded by min(Q, M) iterations with early
+    exit once only prohibitive (>= BIG/2) entries remain, and empirically
+    within a fraction of a percent of optimal cost on detection matchings
+    (tests/test_rtdetr.py::test_greedy_close_to_hungarian). Host callbacks
+    are NOT an option here — the axon PJRT tunnel rejects pure_callback.
+
+    Returns (rows, cols) each (B, K): pairs in assignment order; unassigned
+    trailing slots point at prohibitive pairs and are filtered by cost by
+    the caller.
+    """
+    if exact:
+        return jax.vmap(optax.assignment.hungarian_algorithm)(cost)
+
+    b, q, m = cost.shape
+    k = min(q, m)
+
+    def per_image(c):
+        def cond(state):
+            i, c_, rows, cols = state
+            return (i < k) & (c_.min() < BIG / 2)
+
+        def body(state):
+            i, c_, rows, cols = state
+            idx = jnp.argmin(c_.reshape(-1))
+            qi = (idx // m).astype(jnp.int32)
+            mi = (idx % m).astype(jnp.int32)
+            rows = rows.at[i].set(qi)
+            cols = cols.at[i].set(mi)
+            c_ = c_.at[qi, :].set(BIG).at[:, mi].set(BIG)
+            return i + 1, c_, rows, cols
+
+        # unfilled slots keep col == m (out of range) and are dropped by
+        # the caller's in-range check — they can never alias a real gt
+        rows0 = jnp.zeros((k,), jnp.int32)
+        cols0 = jnp.full((k,), m, jnp.int32)
+        _, cfinal, rows, cols = jax.lax.while_loop(
+            cond, body, (0, c, rows0, cols0))
+        return rows, cols
+
+    return jax.vmap(per_image)(cost)
+
+
+def to_norm_cxcywh(boxes_xyxy: jax.Array, img_size: float) -> jax.Array:
+    b = boxes_xyxy / img_size
+    return jnp.stack([(b[..., 0] + b[..., 2]) / 2,
+                      (b[..., 1] + b[..., 3]) / 2,
+                      b[..., 2] - b[..., 0],
+                      b[..., 3] - b[..., 1]], -1)
+
+
+def _cxcywh_to_xyxy(b: jax.Array) -> jax.Array:
+    return jnp.stack([b[..., 0] - b[..., 2] / 2, b[..., 1] - b[..., 3] / 2,
+                      b[..., 0] + b[..., 2] / 2, b[..., 1] + b[..., 3] / 2],
+                     -1)
+
+
+def hungarian_match(logits: jax.Array, boxes: jax.Array,
+                    gt_boxes: jax.Array, gt_classes: jax.Array,
+                    max_match: int = 300
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-image optimal assignment.
+
+    logits: (B, Q, nc); boxes: (B, Q, 4) norm cxcywh; gt_boxes: (B, M, 4)
+    norm cxcywh; gt_classes: (B, M) with -1 pads. GTs beyond `max_match`
+    slots are ignored (front-packed by the pipeline).
+
+    Returns (gt_for_query (B, Q) int32 [-1 = unmatched], iou_q (B, Q),
+    match_cost diagnostics).
+    """
+    b, q, nc = logits.shape
+    m = min(max_match, gt_boxes.shape[1])
+    gtb = gt_boxes[:, :m]
+    gtc = gt_classes[:, :m]
+    valid = gtc >= 0
+
+    prob = jax.nn.sigmoid(logits)                              # (B, Q, nc)
+    # focal-style class cost (Deformable-DETR convention)
+    alpha, gamma = 0.25, 2.0
+    neg = (1 - alpha) * prob ** gamma * (-jnp.log1p(-prob + 1e-8))
+    pos = alpha * (1 - prob) ** gamma * (-jnp.log(prob + 1e-8))
+    cls_sel = jnp.take_along_axis(
+        pos - neg, jnp.maximum(gtc, 0)[:, None, :], axis=2)    # (B, Q, M)
+
+    l1 = jnp.abs(boxes[:, :, None, :] - gtb[:, None, :, :]).sum(-1)
+    qx = _cxcywh_to_xyxy(boxes)
+    gx = _cxcywh_to_xyxy(gtb)
+    giou = jax.vmap(lambda a_, b_: box_ops.giou(a_[:, None], b_[None]))(
+        qx, gx)                                                # (B, Q, M)
+    cost = W_CLASS * cls_sel + W_L1 * l1 + W_GIOU * (-giou)
+    cost = jnp.where(valid[:, None, :], cost, BIG)
+
+    rows, cols = _solve_assignment(cost)      # rows (B, K), cols (B, K)
+    # Assignments to PADDED gts (or unfilled greedy slots, col == m) write
+    # to an overflow slot (index q) so they can never clobber a real
+    # query's assignment.
+    in_range = cols < m
+    cols = jnp.minimum(cols, m - 1)
+    matched_valid = jnp.take_along_axis(valid, cols, 1) & in_range  # (B, K)
+    slot = jnp.where(matched_valid, rows, q)
+    gt_for_query = jnp.full((b, q + 1), -1, jnp.int32).at[
+        jnp.arange(b)[:, None], slot].set(
+        jnp.where(matched_valid, cols, -1).astype(jnp.int32))[:, :q]
+    iou = jax.vmap(box_ops.pairwise_iou)(qx, gx)               # (B, Q, M)
+    iou_q = jnp.take_along_axis(
+        iou, jnp.maximum(gt_for_query, 0)[..., None], 2)[..., 0]
+    iou_q = jnp.where(gt_for_query >= 0, iou_q, 0.0)
+    return gt_for_query, iou_q, cost
+
+
+def varifocal_loss(logits: jax.Array, target_cls: jax.Array,
+                   target_iou: jax.Array, alpha: float = 0.75,
+                   gamma: float = 2.0) -> jax.Array:
+    """VFL: positives weighted by IoU target, negatives by p^gamma."""
+    nc = logits.shape[-1]
+    t = jax.nn.one_hot(jnp.maximum(target_cls, 0), nc) * \
+        target_iou[..., None] * (target_cls >= 0)[..., None]
+    p = jax.nn.sigmoid(logits)
+    weight = jnp.where(t > 0, t, alpha * p ** gamma)
+    bce = optax.sigmoid_binary_cross_entropy(logits, t)
+    return (bce * weight).sum()
+
+
+def _layer_loss(logits, boxes, gt_boxes_n, gt_classes):
+    gt_for_q, iou_q, _ = hungarian_match(
+        jax.lax.stop_gradient(logits), jax.lax.stop_gradient(boxes),
+        gt_boxes_n, gt_classes)
+    matched = gt_for_q >= 0
+    n_pos = jnp.maximum(matched.sum(), 1.0)
+    tgt_cls = jnp.where(
+        matched,
+        jnp.take_along_axis(jnp.maximum(gt_classes, 0),
+                            jnp.maximum(gt_for_q, 0), 1), -1)
+    cls_l = varifocal_loss(logits, tgt_cls,
+                           jax.lax.stop_gradient(iou_q)) / n_pos
+
+    tgt_box = jnp.take_along_axis(gt_boxes_n,
+                                  jnp.maximum(gt_for_q, 0)[..., None], 1)
+    l1 = (jnp.abs(boxes - tgt_box).sum(-1) * matched).sum() / n_pos
+    giou = box_ops.giou(_cxcywh_to_xyxy(boxes), _cxcywh_to_xyxy(tgt_box))
+    giou_l = ((1.0 - giou) * matched).sum() / n_pos
+    return W_CLASS * cls_l + W_L1 * l1 + W_GIOU * giou_l, {
+        "cls": cls_l, "l1": l1, "giou": giou_l, "n_pos": n_pos}
+
+
+@functools.partial(jax.jit, static_argnames=("img_size",))
+def rtdetr_loss(outputs: Dict, gt_boxes_xyxy: jax.Array,
+                gt_classes: jax.Array, img_size: int
+                ) -> Tuple[jax.Array, Dict]:
+    """Deep-supervised set loss: every decoder layer + encoder proposals."""
+    gt_n = to_norm_cxcywh(gt_boxes_xyxy, img_size)
+    total = 0.0
+    metrics = {}
+    n_layers = outputs["logits"].shape[0]
+    for li in range(n_layers):
+        l, m = _layer_loss(outputs["logits"][li], outputs["boxes"][li],
+                           gt_n, gt_classes)
+        total = total + l
+        if li == n_layers - 1:
+            metrics = {f"dec_{k}": v for k, v in m.items()}
+    enc_l, enc_m = _layer_loss(outputs["enc_logits"], outputs["enc_boxes"],
+                               gt_n, gt_classes)
+    total = total + enc_l
+    metrics["enc_cls"] = enc_m["cls"]
+    return total, metrics
+
+
+# ── Train/predict steps ──────────────────────────────────────────────────
+
+@dataclasses.dataclass
+class RtdetrTrainState:
+    params: dict
+    batch_stats: dict
+    ema_params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+    def tree_flatten(self):
+        return ((self.params, self.batch_stats, self.ema_params,
+                 self.opt_state, self.step), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    RtdetrTrainState, RtdetrTrainState.tree_flatten,
+    RtdetrTrainState.tree_unflatten)
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
+                   warmup_steps: int = 500, total_steps: int = 100000,
+                   clip: float = 0.1):
+    sched = optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, warmup_steps),
+         optax.constant_schedule(lr)], [warmup_steps])
+    tx = optax.chain(optax.clip_by_global_norm(clip),
+                     optax.adamw(sched, weight_decay=weight_decay))
+    return tx, sched
+
+
+def init_state(model: R.RTDETR, key, img_size: int, tx) -> RtdetrTrainState:
+    variables = R.init_variables(model, key, img_size)
+    return RtdetrTrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        ema_params=jax.tree.map(jnp.copy, variables["params"]),
+        opt_state=tx.init(variables["params"]), step=jnp.asarray(0))
+
+
+def make_train_step(model: R.RTDETR, tx, img_size: int,
+                    corruption: Optional[CorruptionConfig], augment: bool,
+                    ema_decay: float = 0.9999):
+    def step(state: RtdetrTrainState, images_u8, gt_boxes, gt_classes, key):
+        k = jax.random.fold_in(key, state.step)
+        x = images_u8.astype(jnp.float32)
+        if augment:
+            x, _ = corrupt_ops.random_corruption(x, k, corruption, fast=True)
+        x = x / 255.0
+
+        def loss_fn(params):
+            outs, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"])
+            loss, metrics = rtdetr_loss(outs, gt_boxes, gt_classes, img_size)
+            return loss, (mut["batch_stats"], metrics)
+
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        d = ema_decay * (1.0 - jnp.exp(-(state.step + 1) / 2000.0))
+        new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                               state.ema_params, new_params)
+        metrics = dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+        return RtdetrTrainState(new_params, new_stats, new_ema, new_opt,
+                                state.step + 1), metrics
+
+    return step
+
+
+def make_predict_step(model: R.RTDETR, img_size: int, max_det: int = 300,
+                      use_ema: bool = True):
+    def step(state, images_u8):
+        params = state.ema_params if use_ema else state.params
+        x = images_u8.astype(jnp.float32) / 255.0
+        outs = model.apply({"params": params,
+                            "batch_stats": state.batch_stats},
+                           x, train=False)
+        return R.postprocess(outs, img_size, max_det)
+    return step

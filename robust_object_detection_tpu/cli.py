@@ -1,0 +1,213 @@
+"""Typed CLI — one subcommand per reference entry point.
+
+The reference exposes its pipeline as `python -m scripts.<name>` modules
+configured by editing module-level constants (SURVEY.md §5 config). Here:
+``python -m robust_object_detection_tpu.cli <command> [flags]`` with every
+knob a flag over the typed config tree (core/config.py).
+
+Commands mirror README.md:220-301's CLI surface:
+  convert-det-coco / convert-det-yolo / convert-vid-yolo
+  build-testsets          (build_corrupted_testsets.py)
+  train-restoration       (train_restoration.py)
+  restore-testsets        (restore_testsets.py)
+  train-detector          (train_{frcnn,yolo,rtdetr}_{baseline,augmented}.py)
+  eval / eval-restored / eval-vid   (eval_all.py / eval_restored.py / eval_vid.py)
+  plot / plot-three / plot-vid      (plot_*.py)
+  demo                    (demo_inference.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _cfg(args) -> "ExperimentConfig":
+    from .core import config as config_lib
+    if getattr(args, "config", None):
+        return config_lib.load(args.config)
+    return config_lib.ExperimentConfig()
+
+
+def cmd_convert_det_coco(args):
+    from .data import convert
+    stats = convert.convert_det_to_coco(args.src, args.out, args.split)
+    print(f"[convert-det-coco] {stats}")
+
+
+def cmd_convert_det_yolo(args):
+    from .data import convert
+    stats = convert.convert_det_to_yolo(args.src, args.out, args.split)
+    print(f"[convert-det-yolo] {stats}")
+
+
+def cmd_convert_vid_yolo(args):
+    from .data import convert
+    stats = convert.convert_vid_to_yolo(args.src, args.out, args.split)
+    print(f"[convert-vid-yolo] {stats}")
+
+
+def cmd_build_testsets(args):
+    from .data import testsets
+    cfg = _cfg(args)
+    testsets.build_all(args.processed_root, args.out, cfg.corruption,
+                       seed=args.seed)
+    print(json.dumps(testsets.testset_manifest(args.out), indent=2))
+
+
+def cmd_train_restoration(args):
+    from .train import restoration
+    cfg = _cfg(args)
+    out = restoration.train(cfg, args.train_dir, args.val_dir,
+                            out_dir=args.out, max_steps=args.max_steps)
+    print(json.dumps(out))
+
+
+def cmd_restore_testsets(args):
+    from .data import restore
+    counts = restore.restore_testsets(args.testset_root, args.unet_dir,
+                                      batch_size=args.batch_size)
+    print(json.dumps(counts, indent=2))
+
+
+def cmd_train_detector(args):
+    cfg = _cfg(args)
+    if args.model == "yolo":
+        from .train import detector
+        out = detector.train(cfg, args.data_root, args.out,
+                             augment=args.augment, variant=args.variant,
+                             epochs=args.epochs, img_size=args.img_size,
+                             batch_size=args.batch_size,
+                             max_steps=args.max_steps)
+    elif args.model == "frcnn":
+        from .train import frcnn
+        out = frcnn.train(cfg, args.data_root, args.out,
+                          augment=args.augment, epochs=args.epochs or 24,
+                          img_size=args.img_size,
+                          batch_size=args.batch_size or 2,
+                          max_steps=args.max_steps)
+    else:
+        raise SystemExit(f"unknown model {args.model!r} "
+                         "(rtdetr training driver: use the library API)")
+    print(json.dumps(out))
+
+
+def _load_models(entries, img_size):
+    """entries: list of 'name=kind:ckpt_dir' -> {name: (predict, state)}."""
+    import jax
+    models = {}
+    for e in entries:
+        name, spec = e.split("=", 1)
+        kind, ckpt = spec.split(":", 1)
+        if kind == "yolo":
+            from .train import detector
+            model, state = detector.load_checkpoint(ckpt, img_size=img_size)
+            predict = jax.jit(detector.make_predict_step(model, img_size))
+        else:
+            raise SystemExit(f"eval for kind {kind!r} via CLI not wired yet")
+        models[name] = (predict, state)
+    return models
+
+
+def cmd_eval(args):
+    from .eval import detector_eval
+    models = _load_models(args.model, args.img_size)
+    detector_eval.sweep(models, args.testset_root, args.img_size,
+                        args.batch_size, args.out, layout=args.layout,
+                        results_name=args.results_name)
+
+
+def cmd_plot(args):
+    from .core import artifacts
+    from .report import plots
+    results = artifacts.read_json(args.results)
+    paths = plots.det_figure_suite(results, args.out, prefix=args.prefix)
+    print("\n".join(str(p) for p in paths))
+
+
+def cmd_plot_three(args):
+    from .core import artifacts
+    from .report import plots
+    results = artifacts.read_json(args.results)
+    restored = artifacts.read_json(args.restored)
+    paths = plots.three_strategy_suite(results, restored, args.out)
+    print("\n".join(str(p) for p in paths))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="robust_object_detection_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, *specs):
+        sp = sub.add_parser(name)
+        for flags, kw in specs:
+            sp.add_argument(*flags, **kw)
+        sp.add_argument("--config", default=None,
+                        help="ExperimentConfig JSON")
+        sp.set_defaults(fn=fn)
+        return sp
+
+    for cname, fn in (("convert-det-coco", cmd_convert_det_coco),
+                      ("convert-det-yolo", cmd_convert_det_yolo),
+                      ("convert-vid-yolo", cmd_convert_vid_yolo)):
+        add(cname, fn,
+            (("--src",), {"required": True}),
+            (("--out",), {"required": True}),
+            (("--split",), {"default": "val"}))
+
+    add("build-testsets", cmd_build_testsets,
+        (("--processed-root",), {"required": True}),
+        (("--out",), {"required": True}),
+        (("--seed",), {"type": int, "default": 42}))
+
+    add("train-restoration", cmd_train_restoration,
+        (("--train-dir",), {"required": True}),
+        (("--val-dir",), {"required": True}),
+        (("--out",), {"required": True}),
+        (("--max-steps",), {"type": int, "default": None}))
+
+    add("restore-testsets", cmd_restore_testsets,
+        (("--testset-root",), {"required": True}),
+        (("--unet-dir",), {"required": True}),
+        (("--batch-size",), {"type": int, "default": 8}))
+
+    add("train-detector", cmd_train_detector,
+        (("--model",), {"required": True,
+                        "choices": ["yolo", "frcnn", "rtdetr"]}),
+        (("--data-root",), {"required": True}),
+        (("--out",), {"required": True}),
+        (("--augment",), {"action": "store_true"}),
+        (("--variant",), {"default": "m"}),
+        (("--epochs",), {"type": int, "default": None}),
+        (("--img-size",), {"type": int, "default": 1024}),
+        (("--batch-size",), {"type": int, "default": None}),
+        (("--max-steps",), {"type": int, "default": None}))
+
+    add("eval", cmd_eval,
+        (("--model",), {"action": "append", "required": True,
+                        "help": "name=kind:ckpt_dir (repeatable)"}),
+        (("--testset-root",), {"required": True}),
+        (("--img-size",), {"type": int, "default": 1024}),
+        (("--batch-size",), {"type": int, "default": 8}),
+        (("--layout",), {"default": "coco6"}),
+        (("--results-name",), {"default": "eval_results"}),
+        (("--out",), {"default": "experiments"}))
+
+    add("plot", cmd_plot,
+        (("--results",), {"required": True}),
+        (("--out",), {"default": "experiments/figures"}),
+        (("--prefix",), {"default": ""}))
+
+    add("plot-three", cmd_plot_three,
+        (("--results",), {"required": True}),
+        (("--restored",), {"required": True}),
+        (("--out",), {"default": "experiments/figures"}))
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Testset restoration: run the U-Net over the frozen corrupted testsets.
+
+Reference counterpart: restore_testsets.py — loads the best U-Net, restores
+every image of the Noise/Blur/LowRes variants at full resolution (pad to a
+multiple of 16 with reflection, forward, un-pad, restore_testsets.py:52-79),
+copies Clean unchanged (:145-159), writes ``<root>/{coco6,yolo6}_restored``
+(:30-35) and rewrites data.yaml paths (:122-132).
+
+TPU-native: images are grouped by padded shape and batched through ONE
+jitted forward per shape group (the reference runs per-image batch-1);
+JPEG decode/encode overlaps device compute via a thread pool.
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections import defaultdict
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..models import unet as unet_lib
+from .testsets import VARIANTS
+
+RESTORE_VARIANTS = ("Test_Noise", "Test_Blur", "Test_LowRes")
+
+
+def _read(path: Path) -> np.ndarray:
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _write(path: Path, img: np.ndarray, quality: int = 95) -> None:
+    from PIL import Image
+    Image.fromarray(img).save(path, quality=quality)
+
+
+def restore_images(apply_fn, variables, paths: List[Path],
+                   out_dir: Path, batch_size: int = 8,
+                   num_threads: int = 8) -> int:
+    """Restore a list of images, batching same-padded-shape groups."""
+    import jax
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    groups: Dict[Tuple[int, int], List[Path]] = defaultdict(list)
+    shapes: Dict[Path, Tuple[int, int]] = {}
+    with ThreadPoolExecutor(num_threads) as pool:
+        sizes = list(pool.map(lambda p: _read(p).shape[:2], paths))
+    for p, (h, w) in zip(paths, sizes):
+        ph, pw = h + (-h) % 16, w + (-w) % 16
+        groups[(ph, pw)].append(p)
+        shapes[p] = (h, w)
+
+    n = 0
+    with ThreadPoolExecutor(num_threads) as pool:
+        for (ph, pw), group in sorted(groups.items()):
+            for start in range(0, len(group), batch_size):
+                chunk = group[start:start + batch_size]
+                imgs = list(pool.map(_read, chunk))
+                batch = np.zeros((len(chunk), ph, pw, 3), np.float32)
+                for i, im in enumerate(imgs):
+                    h, w = im.shape[:2]
+                    # reflect-pad to the group's padded shape
+                    batch[i] = np.pad(
+                        im.astype(np.float32),
+                        ((0, ph - h), (0, pw - w), (0, 0)),
+                        mode="reflect") / 255.0
+                out = np.asarray(apply_fn(variables, jnp.asarray(batch)))
+                writes = []
+                for i, p in enumerate(chunk):
+                    h, w = shapes[p]
+                    img = np.clip(out[i, :h, :w] * 255.0 + 0.5, 0,
+                                  255).astype(np.uint8)
+                    writes.append(pool.submit(_write, out_dir / p.name, img))
+                for wjob in writes:
+                    wjob.result()
+                n += len(chunk)
+    return n
+
+
+def restore_testsets(testset_root: str | Path, unet_dir: str | Path,
+                     channels=(32, 64, 128, 256), batch_size: int = 8
+                     ) -> dict:
+    """Build ``{coco6,yolo6}_restored`` next to the frozen testsets."""
+    from ..train.restoration import load_best
+    testset_root = Path(testset_root)
+    model, variables = load_best(unet_dir, channels)
+    apply_fn = unet_lib.jit_apply(model)
+
+    counts = {}
+    for fmt in ("coco6", "yolo6"):
+        src_root = testset_root / fmt
+        dst_root = testset_root / f"{fmt}_restored"
+        if not src_root.exists():
+            continue
+        for variant in VARIANTS:
+            src = src_root / variant
+            dst = dst_root / variant
+            if not src.exists():
+                continue
+            # copy everything except images (labels/annotations/data.yaml)
+            for item in src.rglob("*"):
+                rel = item.relative_to(src)
+                if "images" in rel.parts:
+                    continue
+                if item.is_dir():
+                    (dst / rel).mkdir(parents=True, exist_ok=True)
+                else:
+                    (dst / rel).parent.mkdir(parents=True, exist_ok=True)
+                    shutil.copy2(item, dst / rel)
+            # data.yaml paths must point at the restored root
+            y = dst / "data.yaml"
+            if y.exists():
+                y.write_text(y.read_text().replace(
+                    str(src.resolve()), str(dst.resolve())))
+            img_src = src / "images" / "val"
+            img_dst = dst / "images" / "val"
+            paths = sorted(img_src.glob("*.jpg"))
+            if variant in RESTORE_VARIANTS:
+                counts[f"{fmt}/{variant}"] = restore_images(
+                    apply_fn, variables, paths, img_dst, batch_size)
+            else:     # Clean copied unchanged (restore_testsets.py:145-159)
+                img_dst.mkdir(parents=True, exist_ok=True)
+                for p in paths:
+                    shutil.copy2(p, img_dst / p.name)
+                counts[f"{fmt}/{variant}"] = len(paths)
+    return counts

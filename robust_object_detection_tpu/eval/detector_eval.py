@@ -85,7 +85,8 @@ def evaluate_testsets(predict_fn: Callable, state, testset_root: str | Path,
     out = {}
     for variant in variants:
         vdir = root / variant
-        samples = (pipe.index_coco(vdir, "val") if layout == "coco6"
+        samples = (pipe.index_coco(vdir, "val")
+                   if layout.startswith("coco6")
                    else pipe.index_yolo(vdir, "val"))
         out[variant] = evaluate_on_samples(
             predict_fn, state, samples, img_size, batch_size, ctx)

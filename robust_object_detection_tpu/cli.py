@@ -80,7 +80,8 @@ def cmd_train_detector(args):
                              augment=args.augment, variant=args.variant,
                              epochs=args.epochs, img_size=args.img_size,
                              batch_size=args.batch_size,
-                             max_steps=args.max_steps)
+                             max_steps=args.max_steps,
+                             layout=args.data_layout)
     elif args.model == "frcnn":
         from .train import frcnn
         out = frcnn.train(cfg, args.data_root, args.out,
@@ -183,7 +184,10 @@ def main(argv=None):
         (("--epochs",), {"type": int, "default": None}),
         (("--img-size",), {"type": int, "default": 1024}),
         (("--batch-size",), {"type": int, "default": None}),
-        (("--max-steps",), {"type": int, "default": None}))
+        (("--max-steps",), {"type": int, "default": None}),
+        (("--data-layout",), {"default": "coco",
+                              "choices": ["coco", "yolo"],
+                              "help": "yolo = VID-flattened layout"}))
 
     add("eval", cmd_eval,
         (("--model",), {"action": "append", "required": True,

@@ -150,8 +150,15 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
           out_dir: str | Path, augment: bool = False,
           variant: str = "m", epochs: Optional[int] = None,
           img_size: Optional[int] = None, batch_size: Optional[int] = None,
-          max_steps: Optional[int] = None, max_boxes: int = 600) -> dict:
-    """Train a YOLO detector on a COCO-layout dataset root."""
+          max_steps: Optional[int] = None, max_boxes: int = 600,
+          layout: str = "coco") -> dict:
+    """Train a YOLO detector on a COCO- or YOLO-layout dataset root.
+
+    layout="yolo" covers the VID experiments: VisDrone-VID sequences are
+    flattened to YOLO-layout frames by data/convert.convert_vid_to_yolo
+    (reference: train_vid_{yolo,rtdetr}_{baseline,augmented}.py train on
+    visdrone_vid_yolo6/data.yaml).
+    """
     tcfg = cfg.train
     epochs = epochs or tcfg.epochs
     img_size = img_size or cfg.data.image_size
@@ -165,7 +172,9 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
     mesh = mesh_lib.make_mesh(cfg.mesh)
     ctx = mesh_lib.MeshContext(mesh)
 
-    train_samples = pipe.index_coco(data_root, "train")
+    train_samples = (pipe.index_coco(data_root, "train")
+                     if layout == "coco"
+                     else pipe.index_yolo(data_root, "train"))
     steps_per_epoch = max(1, len(train_samples) // batch_size)
     total_steps = epochs * steps_per_epoch
 

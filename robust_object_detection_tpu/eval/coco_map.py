@@ -202,12 +202,25 @@ def evaluate(detections: Mapping[int, Detections],
              categories: Sequence[int],
              max_dets: int = 100,
              area_labels: Sequence[str] = ("all", "small", "medium", "large"),
+             use_native: bool | None = None,
              ) -> EvalResult:
     """Run the full COCOeval bbox protocol over a set of images.
 
     detections / ground_truth: image_id -> per-image arrays. Images present in
     ground_truth but missing from detections count as all-FN, like COCOeval.
+
+    use_native: run the per-(image, category, area) greedy matching through
+    the C++ core (native/coco_match.cc) — the scorer's CPU hotspot across
+    the 52 eval runs. None = auto (native when it builds); tests assert
+    bit-identical results between the two paths.
     """
+    if use_native is None or use_native:
+        from .. import native
+        native_ok = native.available()
+        if use_native and not native_ok:
+            raise RuntimeError("native matcher requested but unavailable")
+    else:
+        native_ok = False
     img_ids = sorted(ground_truth.keys())
     T, R = len(IOU_THRS), len(REC_THRS)
     K, A = len(categories), len(area_labels)
@@ -232,8 +245,13 @@ def evaluate(detections: Mapping[int, Detections],
             scores_all, matched_all, ignore_all = [], [], []
             n_pos = 0
             for db, ds, gb, gc, ga in per_img:
-                s, m, ig, np_ = _match_image_category(db, ds, gb, gc, ga,
-                                                      rng, max_dets)
+                if native_ok:
+                    from .. import native
+                    s, m, ig, np_ = native.match_image_category(
+                        db, ds, gb, gc, ga, rng, max_dets, IOU_THRS)
+                else:
+                    s, m, ig, np_ = _match_image_category(db, ds, gb, gc,
+                                                          ga, rng, max_dets)
                 scores_all.append(s)
                 matched_all.append(m)
                 ignore_all.append(ig)

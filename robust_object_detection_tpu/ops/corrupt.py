@@ -171,6 +171,22 @@ def random_corruption(img: jax.Array, key: jax.Array,
     return out, choice
 
 
+def random_corruption_fast(img: jax.Array, key: jax.Array,
+                           cfg: CorruptionConfig = CorruptionConfig()):
+    """Training-path corruption, fastest available implementation.
+
+    On TPU with compatible shapes this is the fused single-pass Pallas
+    kernel (ops/pallas_corrupt.py); otherwise the XLA compute-all-variants
+    path with relaxed conv precision. Same distribution either way.
+    """
+    h, w = img.shape[1], img.shape[2]
+    if (jax.default_backend() == "tpu" and h % 128 == 0 and w % 2 == 0
+            and cfg.blur_angle_deg % 360 == 0):
+        from . import pallas_corrupt
+        return pallas_corrupt.fused_random_corruption(img, key, cfg)
+    return random_corruption(img, key, cfg, fast=True)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "quantize", "fast"))
 def corrupt_variant(img: jax.Array, variant: jax.Array, key: jax.Array,
                     cfg: CorruptionConfig = CorruptionConfig(),

@@ -89,7 +89,7 @@ def make_train_step(model, tx, img_size: int, corruption: CorruptionConfig,
         k = jax.random.fold_in(key, state.step)
         x = images_u8.astype(jnp.float32)
         if augment:
-            x, _ = corrupt_ops.random_corruption(x, k, corruption, fast=True)
+            x, _ = corrupt_ops.random_corruption_fast(x, k, corruption)
         x = x / 255.0
 
         def loss_fn(params):

@@ -146,8 +146,7 @@ def make_train_step(model: F.FasterRCNN, tx, img_size: int,
         k_corr, k_rpn, k_roi = jax.random.split(k, 3)
         x = images_u8.astype(jnp.float32)
         if augment:
-            x, _ = corrupt_ops.random_corruption(x, k_corr, corruption,
-                                                 fast=True)
+            x, _ = corrupt_ops.random_corruption_fast(x, k_corr, corruption)
         x = x / 255.0
 
         def loss_fn(params):

@@ -89,9 +89,16 @@ def cmd_train_detector(args):
                           img_size=args.img_size,
                           batch_size=args.batch_size or 2,
                           max_steps=args.max_steps)
+    elif args.model == "rtdetr":
+        from .train import rtdetr
+        out = rtdetr.train(cfg, args.data_root, args.out,
+                           augment=args.augment, epochs=args.epochs or 100,
+                           img_size=args.img_size,
+                           batch_size=args.batch_size or 4,
+                           max_steps=args.max_steps,
+                           layout=args.data_layout)
     else:
-        raise SystemExit(f"unknown model {args.model!r} "
-                         "(rtdetr training driver: use the library API)")
+        raise SystemExit(f"unknown model {args.model!r}")
     print(json.dumps(out))
 
 
@@ -106,8 +113,16 @@ def _load_models(entries, img_size):
             from .train import detector
             model, state = detector.load_checkpoint(ckpt, img_size=img_size)
             predict = jax.jit(detector.make_predict_step(model, img_size))
+        elif kind == "frcnn":
+            from .train import frcnn
+            model, state = frcnn.load_checkpoint(ckpt, img_size=img_size)
+            predict = jax.jit(frcnn.make_predict_step(model, img_size))
+        elif kind == "rtdetr":
+            from .train import rtdetr
+            model, state = rtdetr.load_checkpoint(ckpt, img_size=img_size)
+            predict = jax.jit(rtdetr.make_predict_step(model, img_size))
         else:
-            raise SystemExit(f"eval for kind {kind!r} via CLI not wired yet")
+            raise SystemExit(f"unknown model kind {kind!r}")
         models[name] = (predict, state)
     return models
 
@@ -118,6 +133,26 @@ def cmd_eval(args):
     detector_eval.sweep(models, args.testset_root, args.img_size,
                         args.batch_size, args.out, layout=args.layout,
                         results_name=args.results_name)
+
+
+def cmd_eval_vid(args):
+    """eval_vid.py: VID checkpoints evaluated on the DET testsets
+    (docs/07_vid_experiment.md:127-134 — deliberate design)."""
+    args.results_name = "vid_eval_results"
+    cmd_eval(args)
+
+
+def cmd_demo(args):
+    import jax
+    from .data import pipeline
+    from .report import demo
+    models = _load_models([f"base={args.base}", f"aug={args.aug}"],
+                          args.img_size)
+    samples = pipeline.index_coco(args.data_root, "val")
+    (pb, sb), (pa, sa) = models["base"], models["aug"]
+    paths = demo.run_demo(samples, pb, pa, sb, sa, args.out, args.img_size,
+                          args.name, n_images=args.n)
+    print("\n".join(str(p) for p in paths))
 
 
 def cmd_plot(args):
@@ -198,6 +233,23 @@ def main(argv=None):
         (("--layout",), {"default": "coco6"}),
         (("--results-name",), {"default": "eval_results"}),
         (("--out",), {"default": "experiments"}))
+
+    add("eval-vid", cmd_eval_vid,
+        (("--model",), {"action": "append", "required": True}),
+        (("--testset-root",), {"required": True}),
+        (("--img-size",), {"type": int, "default": 1024}),
+        (("--batch-size",), {"type": int, "default": 8}),
+        (("--layout",), {"default": "coco6"}),
+        (("--out",), {"default": "experiments"}))
+
+    add("demo", cmd_demo,
+        (("--base",), {"required": True, "help": "kind:ckpt_dir"}),
+        (("--aug",), {"required": True, "help": "kind:ckpt_dir"}),
+        (("--data-root",), {"required": True}),
+        (("--img-size",), {"type": int, "default": 1024}),
+        (("--name",), {"default": "model"}),
+        (("--n",), {"type": int, "default": 5}),
+        (("--out",), {"default": "experiments/demo"}))
 
     add("plot", cmd_plot,
         (("--results",), {"required": True}),

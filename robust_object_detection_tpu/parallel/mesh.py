@@ -27,6 +27,14 @@ MODEL_AXIS = "model"
 def make_mesh(cfg: MeshConfig = MeshConfig(),
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
+    if cfg.data > 0:
+        # explicit sizes: take the first data*model devices (lets tests and
+        # single-chip runs use a sub-mesh of a larger host topology)
+        need = cfg.data * max(1, cfg.model)
+        if need > len(devices):
+            raise ValueError(f"mesh needs {need} devices, "
+                             f"have {len(devices)}")
+        devices = devices[:need]
     data, model = cfg.axis_sizes(len(devices))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))

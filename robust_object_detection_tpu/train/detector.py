@@ -82,12 +82,25 @@ def make_optimizer(lr0: float = 0.01, lrf: float = 0.01,
 
 
 def make_train_step(model, tx, img_size: int, corruption: CorruptionConfig,
-                    augment: bool, ema_decay: float = 0.9999):
-    """Sharded train step: uint8 batch (+padded GT) -> loss -> update."""
+                    augment: bool, ema_decay: float = 0.9999,
+                    base_augment: bool = False):
+    """Sharded train step: uint8 batch (+padded GT) -> loss -> update.
+
+    augment: 50%-probability corruption (the reference's Augmented mode).
+    base_augment: the Ultralytics base recipe both modes share — on-device
+    HSV jitter + horizontal flip (mosaic happens host-side,
+    augment.mosaic_batches).
+    """
+    from . import augment as aug
 
     def step(state: DetTrainState, images_u8, gt_boxes, gt_classes, key):
         k = jax.random.fold_in(key, state.step)
         x = images_u8.astype(jnp.float32)
+        if base_augment:
+            k_hsv, k_flip, k = jax.random.split(k, 3)
+            x = aug.random_hsv(x, k_hsv)
+            x, gt_boxes = aug.random_flip_lr(x, gt_boxes, gt_classes,
+                                             k_flip)
         if augment:
             x, _ = corrupt_ops.random_corruption_fast(x, k, corruption)
         x = x / 255.0
@@ -151,7 +164,8 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
           variant: str = "m", epochs: Optional[int] = None,
           img_size: Optional[int] = None, batch_size: Optional[int] = None,
           max_steps: Optional[int] = None, max_boxes: int = 600,
-          layout: str = "coco") -> dict:
+          layout: str = "coco", base_augment: bool = True,
+          mosaic: bool = True, close_mosaic: int = 10) -> dict:
     """Train a YOLO detector on a COCO- or YOLO-layout dataset root.
 
     layout="yolo" covers the VID experiments: VisDrone-VID sequences are
@@ -186,7 +200,8 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
     state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
 
     train_step = jax.jit(
-        make_train_step(model, tx, img_size, cfg.corruption, augment),
+        make_train_step(model, tx, img_size, cfg.corruption, augment,
+                        base_augment=base_augment),
         in_shardings=(ctx.replicated, ctx.data, ctx.data, ctx.data, None),
         out_shardings=(ctx.replicated, ctx.replicated),
         donate_argnums=(0,))
@@ -195,12 +210,37 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
     hist = artifacts.HistoryLogger(out_dir)
     key = jax.random.key(tcfg.seed)
     steps = 0
-    for epoch in range(1, epochs + 1):
+    start_epoch = 1
+    # restore-and-continue (the reference rewrites last.pth but cannot
+    # resume — SURVEY.md §5 checkpoint/resume)
+    restored = ckpt.restore_last({
+        "params": state.params, "batch_stats": state.batch_stats,
+        "ema_params": state.ema_params, "opt_state": state.opt_state,
+        "step": state.step})
+    if restored is not None:
+        r = restored["state"]
+        state = DetTrainState(r["params"], r["batch_stats"],
+                              r["ema_params"], r["opt_state"], r["step"])
+        state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated),
+                             state)
+        start_epoch = restored["step"] + 1
+        steps = int(jax.device_get(state.step))
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         losses = []
-        batches = pipe.prefetch(pipe.make_batches(
-            train_samples, batch_size, img_size, max_boxes=max_boxes,
-            shuffle=True, seed=tcfg.seed + epoch, drop_remainder=True))
+        # mosaic until the last `close_mosaic` epochs (args.yaml:
+        # mosaic=1.0, close_mosaic=10)
+        use_mosaic = mosaic and epoch <= max(0, epochs - close_mosaic)
+        if use_mosaic:
+            from . import augment as aug
+            batch_iter = aug.mosaic_batches(
+                train_samples, batch_size, img_size, max_boxes=max_boxes,
+                seed=tcfg.seed + epoch)
+        else:
+            batch_iter = pipe.make_batches(
+                train_samples, batch_size, img_size, max_boxes=max_boxes,
+                shuffle=True, seed=tcfg.seed + epoch, drop_remainder=True)
+        batches = pipe.prefetch(batch_iter)
         for batch in batches:
             args = pipe.device_put_sharded(batch, ctx.data)
             state, metrics = train_step(state, args[0], args[1], args[2], key)
@@ -211,7 +251,11 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         hist.log(epoch=epoch, train_loss=mean_loss,
                  lr=float(sched(steps)), epoch_sec=round(time.time() - t0, 2))
-        ckpt.save_last(epoch, _ckpt_payload(state))
+        ckpt.save_last(epoch, {"params": state.params,
+                               "batch_stats": state.batch_stats,
+                               "ema_params": state.ema_params,
+                               "opt_state": state.opt_state,
+                               "step": state.step})
         if max_steps and steps >= max_steps:
             break
     ckpt.save_best(epochs, _ckpt_payload(state), 0.0)  # final = best for now
@@ -236,7 +280,11 @@ def load_checkpoint(out_dir: str | Path, variant: str = "m",
               "ema_params": variables["params"]}
     restored = ckpt.restore_best(target)
     if restored is None:
-        latest = ckpt.restore_last(target)
+        # `last` carries the full resume payload (opt state + step)
+        tx, _ = make_optimizer()
+        full = dict(target, opt_state=tx.init(variables["params"]),
+                    step=jnp.asarray(0))
+        latest = ckpt.restore_last(full)
         if latest is None:
             ckpt.close()
             raise FileNotFoundError(f"no checkpoint under {out_dir}")

@@ -289,3 +289,26 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
                             "batch_stats": state.batch_stats}, 0.0)
     ckpt.close()
     return {"out_dir": str(out_dir), "steps": steps, "final_loss": mean_loss}
+
+
+def load_checkpoint(out_dir: str | Path, img_size: int = 64,
+                    cfg: F.FrcnnConfig = F.FrcnnConfig()):
+    """Load a trained FRCNN checkpoint -> (model, FrcnnTrainState)."""
+    model = F.FasterRCNN(cfg)
+    init = jax.jit(lambda k, x: model.init(k, x, train=False))
+    variables = init(jax.random.key(0),
+                     jnp.zeros((1, img_size, img_size, 3), jnp.float32))
+    target = {"params": variables["params"],
+              "batch_stats": variables["batch_stats"]}
+    ckpt = CheckpointManager(out_dir)
+    restored = ckpt.restore_best(target)
+    if restored is None:
+        latest = ckpt.restore_last(target)
+        if latest is None:
+            ckpt.close()
+            raise FileNotFoundError(f"no checkpoint under {out_dir}")
+        restored = latest["state"]
+    ckpt.close()
+    return model, FrcnnTrainState(restored["params"],
+                                  restored["batch_stats"], None,
+                                  jnp.asarray(0))

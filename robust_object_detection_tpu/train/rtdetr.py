@@ -287,3 +287,91 @@ def make_predict_step(model: R.RTDETR, img_size: int, max_det: int = 300,
                            x, train=False)
         return R.postprocess(outs, img_size, max_det)
     return step
+
+
+def train(cfg, data_root, out_dir, augment: bool = False,
+          epochs: int = 100, img_size: int = 1024, batch_size: int = 4,
+          max_steps: Optional[int] = None, max_boxes: int = 600,
+          layout: str = "coco") -> dict:
+    """Full RT-DETR training driver (reference: 100 epochs, batch 2 at
+    imgsz=1024, train_rtdetr_augmented.py:27-42)."""
+    import time
+    from pathlib import Path
+
+    from ..core import artifacts
+    from ..core.checkpoint import CheckpointManager
+    from ..data import pipeline as pipe
+    from ..parallel import mesh as mesh_lib
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    mesh = mesh_lib.make_mesh(cfg.mesh)
+    ctx = mesh_lib.MeshContext(mesh)
+
+    samples = (pipe.index_coco(data_root, "train") if layout == "coco"
+               else pipe.index_yolo(data_root, "train"))
+    steps_per_epoch = max(1, len(samples) // batch_size)
+    model = R.create(6)
+    tx, sched = make_optimizer(total_steps=epochs * steps_per_epoch)
+    state = init_state(model, jax.random.key(cfg.train.seed), img_size, tx)
+    state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
+    step_fn = jax.jit(
+        make_train_step(model, tx, img_size, cfg.corruption, augment),
+        in_shardings=(ctx.replicated, ctx.data, ctx.data, ctx.data, None),
+        out_shardings=(ctx.replicated, ctx.replicated),
+        donate_argnums=(0,))
+
+    ckpt = CheckpointManager(out_dir)
+    hist = artifacts.HistoryLogger(out_dir)
+    key = jax.random.key(cfg.train.seed)
+    steps = 0
+    mean_loss = 0.0
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        losses = []
+        for batch in pipe.prefetch(pipe.make_batches(
+                samples, batch_size, img_size, max_boxes=max_boxes,
+                shuffle=True, seed=cfg.train.seed + epoch,
+                drop_remainder=True)):
+            args = pipe.device_put_sharded(batch, ctx.data)
+            state, m = step_fn(state, args[0], args[1], args[2], key)
+            losses.append(m["loss"])
+            steps += 1
+            if max_steps and steps >= max_steps:
+                break
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        hist.log(epoch=epoch, train_loss=mean_loss, lr=float(sched(steps)),
+                 epoch_sec=round(time.time() - t0, 2))
+        ckpt.save_last(epoch, {"params": state.params,
+                               "batch_stats": state.batch_stats,
+                               "ema_params": state.ema_params})
+        if max_steps and steps >= max_steps:
+            break
+    ckpt.save_best(epochs, {"params": state.params,
+                            "batch_stats": state.batch_stats,
+                            "ema_params": state.ema_params}, 0.0)
+    ckpt.close()
+    return {"out_dir": str(out_dir), "steps": steps, "final_loss": mean_loss}
+
+
+def load_checkpoint(out_dir, img_size: int = 64):
+    """Load a trained RT-DETR checkpoint -> (model, state)."""
+    from ..core.checkpoint import CheckpointManager
+    model = R.create(6)
+    variables = R.init_variables(model, jax.random.key(0), img_size)
+    target = {"params": variables["params"],
+              "batch_stats": variables["batch_stats"],
+              "ema_params": variables["params"]}
+    ckpt = CheckpointManager(out_dir)
+    restored = ckpt.restore_best(target)
+    if restored is None:
+        latest = ckpt.restore_last(target)
+        if latest is None:
+            ckpt.close()
+            raise FileNotFoundError(f"no checkpoint under {out_dir}")
+        restored = latest["state"]
+    ckpt.close()
+    return model, RtdetrTrainState(restored["params"],
+                                   restored["batch_stats"],
+                                   restored["ema_params"], None,
+                                   jnp.asarray(0))

@@ -11,11 +11,33 @@ from: Conv-BN-SiLU, YOLO C2f/SPPF, and ResNet bottlenecks. Conventions:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# BatchNorm compute dtype. float32 matches torch-AMP semantics (the
+# reference trains amp=True with f32 norms). bf16 halves the dominant
+# normalisation HBM traffic (+26% step rate on yolov8m@1024 measured on
+# v5e) — XLA reduces with an f32 accumulator, so the batch statistics stay
+# accurate; opt in via `bn_dtype_scope(jnp.bfloat16)` around model
+# construction AND every apply/init trace.
+_BN_DTYPE = [jnp.float32]
+
+
+@contextlib.contextmanager
+def bn_dtype_scope(dtype: Any):
+    _BN_DTYPE.append(dtype)
+    try:
+        yield
+    finally:
+        _BN_DTYPE.pop()
+
+
+def current_bn_dtype() -> Any:
+    return _BN_DTYPE[-1]
 
 
 class ConvBnAct(nn.Module):
@@ -37,7 +59,7 @@ class ConvBnAct(nn.Module):
                     padding=((p, p), (p, p)), use_bias=False,
                     feature_group_count=self.groups, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=jnp.float32)(x)
+                         epsilon=1e-3, dtype=current_bn_dtype())(x)
         if self.act:
             x = (self.act_fn or nn.silu)(x)
         return x

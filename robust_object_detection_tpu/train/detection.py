@@ -57,13 +57,19 @@ def task_aligned_assign(scores: jax.Array, pred_boxes: jax.Array,
     gt_valid = gt_classes >= 0                                   # (B, M)
     gt_cls = jnp.maximum(gt_classes, 0)
 
-    # alignment metric t = s^alpha * iou^beta per (gt, anchor)
-    iou = jax.vmap(box_ops.pairwise_iou)(gt_boxes, pred_boxes)   # (B, M, N)
-    iou = jnp.clip(iou, 0.0, 1.0)
+    # alignment metric t = s^alpha * iou^beta per (gt, anchor).
+    # The (B, M, N) tensors dominate the step's HBM traffic at
+    # (16, 600, 21504); bf16 halves it — TAL is a ranking heuristic, the
+    # half-precision ordering is more than enough.
+    iou = jax.vmap(box_ops.pairwise_iou)(
+        gt_boxes.astype(jnp.bfloat16), pred_boxes.astype(jnp.bfloat16))
+    iou = jnp.clip(iou, 0.0, 1.0)                                # (B, M, N)
     cls_score = jnp.take_along_axis(
         jnp.swapaxes(scores, 1, 2),                              # (B, nc, N)
-        gt_cls[..., None], axis=1)                               # (B, M, N)
-    metric = (cls_score ** alpha) * (iou ** beta)
+        gt_cls[..., None], axis=1).astype(jnp.bfloat16)          # (B, M, N)
+    s_pow = (jnp.sqrt(jnp.maximum(cls_score, 0)) if alpha == 0.5
+             else cls_score ** alpha)
+    metric = s_pow * (iou ** beta)
 
     in_gt = _candidates_in_gt(anchors, gt_boxes)                 # (B, M, N)
     mask = in_gt & gt_valid[..., None]
@@ -73,16 +79,17 @@ def task_aligned_assign(scores: jax.Array, pred_boxes: jax.Array,
     # anchors per gt — 213 ms at (16, 600, 21504) on v5e — while the bucketed
     # approx_max_k is 6.5x faster at recall 0.95+; TAL is a heuristic
     # assigner, so approximate candidate selection is the right trade.
+    # Membership is a THRESHOLD against the k-th value, not a scatter:
+    # index scatters over (B, M, N) are a TPU anti-pattern, the compare is
+    # one fused elementwise pass. (Ties at the threshold may admit a few
+    # extra candidates — harmless for a ranking heuristic.)
     k = min(topk, n)
     if exact_topk:
-        top_vals, top_idx = jax.lax.top_k(metric, k)             # (B, M, k)
+        top_vals, _ = jax.lax.top_k(metric, k)                   # (B, M, k)
     else:
-        top_vals, top_idx = jax.lax.approx_max_k(metric, k)
-    topk_mask = jnp.zeros((b, m, n), bool)
-    topk_mask = jax.vmap(jax.vmap(
-        lambda mask_row, idx, vals: mask_row.at[idx].set(vals > 0)))(
-        topk_mask, top_idx, top_vals)
-    pos = topk_mask & mask                                       # (B, M, N)
+        top_vals, _ = jax.lax.approx_max_k(metric, k)
+    kth = top_vals[..., -1:]
+    pos = mask & (metric >= kth) & (metric > 0)                  # (B, M, N)
 
     # resolve multi-gt anchors: keep the gt with the highest IoU
     n_assign = pos.sum(axis=1)                                   # (B, N)
@@ -94,14 +101,15 @@ def task_aligned_assign(scores: jax.Array, pred_boxes: jax.Array,
     fg_mask = pos.any(axis=1)                                    # (B, N)
     target_gt = jnp.argmax(pos, axis=1)                          # (B, N)
 
-    # normalised soft target scores: t_hat = t * (max_iou / max_t) per gt
+    # normalised soft target scores: t_hat = t * (max_iou / max_t) per gt.
+    # After conflict resolution each anchor has at most ONE positive gt, so
+    # the per-anchor score is a max-reduction over M — no (B, M, N) gather.
     pos_metric = jnp.where(pos, metric, 0.0)
     pos_iou = jnp.where(pos, iou, 0.0)
     max_metric = pos_metric.max(axis=2, keepdims=True)           # (B, M, 1)
     max_iou = pos_iou.max(axis=2, keepdims=True)
     norm = pos_metric * max_iou / jnp.maximum(max_metric, 1e-9)  # (B, M, N)
-    anchor_score = jnp.take_along_axis(
-        norm, target_gt[:, None, :], axis=1)[:, 0]               # (B, N)
+    anchor_score = norm.max(axis=1).astype(jnp.float32)          # (B, N)
 
     tb = jnp.take_along_axis(gt_boxes, target_gt[..., None], axis=1)
     tc = jnp.take_along_axis(gt_cls, target_gt, axis=1)          # (B, N)
@@ -123,15 +131,16 @@ def dfl_loss(box_logits: jax.Array, target_ltrb: jax.Array,
     reg_max = box_logits.shape[-1]
     t = jnp.clip(target_ltrb, 0.0, reg_max - 1 - 0.01)
     tl = jnp.floor(t)
-    tr = tl + 1.0
-    wl = tr - t
+    wl = tl + 1.0 - t
     wr = t - tl
     logp = jax.nn.log_softmax(box_logits, axis=-1)
-    ll = jnp.take_along_axis(logp, tl[..., None].astype(jnp.int32),
-                             axis=-1)[..., 0]
-    lr = jnp.take_along_axis(logp, tr[..., None].astype(jnp.int32),
-                             axis=-1)[..., 0]
-    per_anchor = -(wl * ll + wr * lr).mean(axis=-1)              # (B, N)
+    # fused bracket weights instead of two take_along_axis gathers (generic
+    # gathers over (B, N, 4, R) are slow on TPU; this is one elementwise
+    # pass + reduce)
+    bins = jax.lax.broadcasted_iota(jnp.float32, logp.shape, logp.ndim - 1)
+    w = (wl[..., None] * (bins == tl[..., None]) +
+         wr[..., None] * (bins == tl[..., None] + 1.0))
+    per_anchor = -(logp * w).sum(-1).mean(axis=-1)               # (B, N)
     return (per_anchor * weight).sum()
 
 

@@ -352,10 +352,11 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, query, ref_boxes, value_levels, query_pos,
-                 train=False):
+                 train=False, attn_mask=None):
         q = query + query_pos
         sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.cfg.heads, dtype=self.dtype)(q, q, query)
+            num_heads=self.cfg.heads, dtype=self.dtype)(
+            q, q, query, mask=attn_mask)
         query = nn.LayerNorm()(query + sa)
         ca = MSDeformAttn(self.cfg, self.dtype)(
             query + query_pos, ref_boxes, value_levels, train)
@@ -370,10 +371,17 @@ class RTDETR(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, dn=None):
         """x: (B, S, S, 3) in [0,1]. Returns dict:
           enc_logits (B, A, nc), enc_boxes (B, A, 4) sigmoid cxcywh,
-          logits (L, B, Q, nc), boxes (L, B, Q, 4) — per decoder layer."""
+          logits (L, B, Q, nc), boxes (L, B, Q, 4) — per decoder layer.
+
+        dn (optional, training): contrastive-denoising queries —
+        dict(classes (B, D) int32 [-1 = empty slot], boxes (B, D, 4)
+        noised normalised cxcywh, group_ids (B, D) int32 [-1 = empty]).
+        When given, outputs gain dn_logits/dn_boxes (L, B, D, ...) and the
+        decoder self-attention is masked so dn groups see only themselves
+        (+ every real query stays blind to all dn queries)."""
         cfg = self.cfg
         feats = HGNetV2L(self.dtype)(x, train)
         levels = HybridEncoder(cfg, self.dtype)(feats, train)
@@ -404,6 +412,26 @@ class RTDETR(nn.Module):
         content = jax.lax.stop_gradient(content)
         ref = jax.lax.stop_gradient(enc_topk_boxes)
 
+        # contrastive denoising queries prepend the matching queries.
+        # The embed table is created unconditionally so the param tree is
+        # identical with and without dn (checkpoints stay interchangeable).
+        cls_embed = nn.Embed(cfg.num_classes + 1, c, name="dn_class_embed")
+        n_dn = 0
+        attn_mask = None
+        if dn is None:
+            content = content + 0.0 * cls_embed(
+                jnp.zeros((b, 1), jnp.int32)).astype(jnp.float32).mean()
+        else:
+            n_dn = dn["classes"].shape[1]
+            dn_content = cls_embed(
+                jnp.clip(dn["classes"], 0, cfg.num_classes)).astype(
+                jnp.float32)
+            dn_ref = dn["boxes"]
+            content = jnp.concatenate([dn_content, content], 1)
+            ref = jnp.concatenate([dn_ref, ref], 1)
+            attn_mask = _dn_attention_mask(dn["group_ids"],
+                                           content.shape[1])
+
         layers_logits, layers_boxes = [], []
         query = content
         pos_mlp = MLP(2 * c, c, 2, self.dtype, name="query_pos")
@@ -412,15 +440,36 @@ class RTDETR(nn.Module):
         for li in range(cfg.dec_layers):
             query_pos = pos_mlp(ref)
             query = DecoderLayer(cfg, self.dtype, name=f"layer{li}")(
-                query, ref, levels, query_pos, train)
+                query, ref, levels, query_pos, train, attn_mask)
             delta = bbox_head(query)
             new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
             layers_logits.append(score_head(query).astype(jnp.float32))
             layers_boxes.append(new_ref)
             ref = jax.lax.stop_gradient(new_ref)
-        return {"enc_logits": enc_topk_logits, "enc_boxes": enc_topk_boxes,
-                "logits": jnp.stack(layers_logits),
-                "boxes": jnp.stack(layers_boxes)}
+        logits = jnp.stack(layers_logits)       # (L, B, D+Q, nc)
+        boxes = jnp.stack(layers_boxes)
+        out = {"enc_logits": enc_topk_logits, "enc_boxes": enc_topk_boxes,
+               "logits": logits[:, :, n_dn:], "boxes": boxes[:, :, n_dn:]}
+        if dn is not None:
+            out["dn_logits"] = logits[:, :, :n_dn]
+            out["dn_boxes"] = boxes[:, :, :n_dn]
+        return out
+
+
+def _dn_attention_mask(group_ids: jax.Array, total: int) -> jax.Array:
+    """Self-attention mask for CDN: (B, 1, total, total) bool, True = may
+    attend. dn slot i attends only its own group; matching queries attend
+    only each other; empty dn slots (group -1) are isolated."""
+    b, d = group_ids.shape
+    q_gid = jnp.full((b, total - d), -2, jnp.int32)     # matching queries
+    gid = jnp.concatenate([group_ids, q_gid], 1)        # (B, total)
+    same = gid[:, :, None] == gid[:, None, :]
+    valid = gid[:, None, :] != -1                       # empty dn: no keys
+    # dn queries may also read the matching queries (DN-DETR convention);
+    # the reverse stays blocked so real queries never leak gt information
+    dn_sees_match = (gid[:, :, None] >= 0) & (gid[:, None, :] == -2)
+    diag = jnp.eye(total, dtype=bool)[None]
+    return ((same & valid) | dn_sees_match | diag)[:, None]
 
 
 def _build_anchors(shapes: Sequence[Tuple[int, int]],

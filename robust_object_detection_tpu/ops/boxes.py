@@ -86,6 +86,16 @@ def pairwise_iou_xywh_coco(a: jax.Array, b: jax.Array,
     return inter / jnp.maximum(union, 1e-9)
 
 
+def iou_elementwise(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise IoU between aligned (..., 4) xyxy boxes."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area(a) + area(b) - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
 def giou(a: jax.Array, b: jax.Array) -> jax.Array:
     """Elementwise generalised IoU between aligned (..., 4) xyxy boxes."""
     lt = jnp.maximum(a[..., :2], b[..., :2])

@@ -181,6 +181,89 @@ def _layer_loss(logits, boxes, gt_boxes_n, gt_classes):
         "cls": cls_l, "l1": l1, "giou": giou_l, "n_pos": n_pos}
 
 
+# ── Contrastive denoising (CDN) ──────────────────────────────────────────
+
+def build_dn_queries(gt_boxes_n: jax.Array, gt_classes: jax.Array,
+                     key: jax.Array, num_groups: int = 2,
+                     max_gt: int = 32, box_noise: float = 0.4,
+                     label_noise: float = 0.5, num_classes: int = 6):
+    """Noised GT queries for denoising training (DN-DETR/DINO-style CDN).
+
+    Slot layout: per group g, `max_gt` positive slots (small box noise,
+    target = source gt) then `max_gt` negative slots (large noise, target
+    = background). Empty gt slots get group_id -1 (attention-isolated,
+    loss-excluded).
+
+    Returns (dn dict for the model, dn_gt (B, D) int32 source-gt index
+    [-1 = negative/empty], dn_active (B, D) bool).
+    """
+    b = gt_boxes_n.shape[0]
+    m = min(max_gt, gt_boxes_n.shape[1])
+    gtb = gt_boxes_n[:, :m]
+    gtc = gt_classes[:, :m]
+    valid = gtc >= 0                                           # (B, m)
+
+    slots_cls, slots_box, slots_gid, slots_gt, slots_pos = [], [], [], [], []
+    for g in range(num_groups):
+        for positive in (True, False):
+            k_shift, k_scale, k_flip, k_cls, key = jax.random.split(
+                jax.random.fold_in(key, g * 2 + int(positive)), 5)
+            wh = gtb[..., 2:]
+            # positive: centre within +-0.25*wh*noise, wh scale ~1;
+            # negative: pushed out to (0.5..1)*wh*noise — wrong-but-near
+            lo, hi = (0.0, 0.5) if positive else (0.5, 1.0)
+            mag = jax.random.uniform(k_shift, gtb[..., :2].shape,
+                                     minval=lo, maxval=hi)
+            sign = jnp.where(
+                jax.random.bernoulli(k_scale, 0.5, mag.shape), 1.0, -1.0)
+            centre = gtb[..., :2] + sign * mag * wh * box_noise
+            scale = jax.random.uniform(
+                k_scale, wh.shape, minval=1 - box_noise * (hi),
+                maxval=1 + box_noise * (hi))
+            boxes = jnp.clip(jnp.concatenate([centre, wh * scale], -1),
+                             1e-4, 1 - 1e-4)
+            flip = jax.random.bernoulli(k_flip, label_noise, gtc.shape)
+            rand_cls = jax.random.randint(k_cls, gtc.shape, 0, num_classes)
+            cls = jnp.where(flip, rand_cls, jnp.maximum(gtc, 0))
+            slots_cls.append(jnp.where(valid, cls, num_classes))
+            slots_box.append(boxes)
+            slots_gid.append(jnp.where(valid, g, -1))
+            gt_idx = jnp.arange(m, dtype=jnp.int32)[None].repeat(b, 0)
+            slots_gt.append(jnp.where(valid & positive, gt_idx, -1))
+            slots_pos.append(valid & positive)
+
+    dn = {"classes": jnp.concatenate(slots_cls, 1).astype(jnp.int32),
+          "boxes": jnp.concatenate(slots_box, 1),
+          "group_ids": jnp.concatenate(slots_gid, 1).astype(jnp.int32)}
+    dn_gt = jnp.concatenate(slots_gt, 1).astype(jnp.int32)
+    dn_active = jnp.concatenate([valid] * (2 * num_groups), 1)
+    return dn, dn_gt, dn_active
+
+
+def dn_loss(dn_logits: jax.Array, dn_boxes: jax.Array, dn_gt: jax.Array,
+            dn_active: jax.Array, gt_boxes_n: jax.Array,
+            gt_classes: jax.Array) -> jax.Array:
+    """Per-layer denoising loss with the KNOWN assignment (no matching):
+    positives regress their source gt + VFL with its class; negatives and
+    only-active slots get pure background VFL."""
+    pos = dn_gt >= 0
+    n_pos = jnp.maximum(pos.sum(), 1.0)
+    safe = jnp.maximum(dn_gt, 0)
+    tgt_box = jnp.take_along_axis(gt_boxes_n, safe[..., None], 1)
+    tgt_cls_raw = jnp.take_along_axis(jnp.maximum(gt_classes, 0), safe, 1)
+    tgt_cls = jnp.where(pos, tgt_cls_raw, -1)
+
+    qx = _cxcywh_to_xyxy(dn_boxes)
+    gx = _cxcywh_to_xyxy(tgt_box)
+    iou = box_ops.iou_elementwise(qx, gx) * pos
+    cls_l = (varifocal_loss(
+        jnp.where(dn_active[..., None], dn_logits, -1e4),
+        tgt_cls, jax.lax.stop_gradient(iou)) / n_pos)
+    l1 = (jnp.abs(dn_boxes - tgt_box).sum(-1) * pos).sum() / n_pos
+    giou_l = ((1.0 - box_ops.giou(qx, gx)) * pos).sum() / n_pos
+    return W_CLASS * cls_l + W_L1 * l1 + W_GIOU * giou_l
+
+
 @functools.partial(jax.jit, static_argnames=("img_size",))
 def rtdetr_loss(outputs: Dict, gt_boxes_xyxy: jax.Array,
                 gt_classes: jax.Array, img_size: int
@@ -248,19 +331,36 @@ def init_state(model: R.RTDETR, key, img_size: int, tx) -> RtdetrTrainState:
 
 def make_train_step(model: R.RTDETR, tx, img_size: int,
                     corruption: Optional[CorruptionConfig], augment: bool,
-                    ema_decay: float = 0.9999):
+                    ema_decay: float = 0.9999, denoise: bool = True,
+                    dn_groups: int = 2, dn_max_gt: int = 32):
     def step(state: RtdetrTrainState, images_u8, gt_boxes, gt_classes, key):
         k = jax.random.fold_in(key, state.step)
+        k_corr, k_dn = jax.random.split(k)
         x = images_u8.astype(jnp.float32)
         if augment:
-            x, _ = corrupt_ops.random_corruption_fast(x, k, corruption)
+            x, _ = corrupt_ops.random_corruption_fast(x, k_corr, corruption)
         x = x / 255.0
+
+        dn = dn_gt = dn_active = None
+        gt_n = to_norm_cxcywh(gt_boxes, img_size)
+        if denoise:
+            dn, dn_gt, dn_active = build_dn_queries(
+                gt_n, gt_classes, k_dn, num_groups=dn_groups,
+                max_gt=dn_max_gt, num_classes=model.cfg.num_classes)
 
         def loss_fn(params):
             outs, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, mutable=["batch_stats"])
+                x, train=True, dn=dn, mutable=["batch_stats"])
             loss, metrics = rtdetr_loss(outs, gt_boxes, gt_classes, img_size)
+            if denoise:
+                dn_total = 0.0
+                for li in range(outs["dn_logits"].shape[0]):
+                    dn_total = dn_total + dn_loss(
+                        outs["dn_logits"][li], outs["dn_boxes"][li],
+                        dn_gt, dn_active, gt_n, gt_classes)
+                loss = loss + dn_total
+                metrics = dict(metrics, dn=dn_total)
             return loss, (mut["batch_stats"], metrics)
 
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(

@@ -119,6 +119,64 @@ def test_overfit_tiny(rtdetr_small):
     assert losses[-1] < losses[0] * 0.8, losses[::5]
 
 
+def test_dn_queries_structure():
+    """CDN slots: positives point at their gt, negatives/background don't;
+    empty gt slots are group -1 (attention-isolated)."""
+    gt_b = jnp.asarray([[[0.3, 0.3, 0.1, 0.1], [0.7, 0.6, 0.2, 0.2],
+                         [0, 0, 0, 0]]])
+    gt_c = jnp.asarray([[1, 4, -1]], jnp.int32)
+    dn, dn_gt, dn_active = TR.build_dn_queries(
+        gt_b, gt_c, jax.random.key(0), num_groups=2, max_gt=3,
+        label_noise=0.0)
+    assert dn["classes"].shape == (1, 12)        # 2 groups x (3 pos + 3 neg)
+    gid = np.asarray(dn["group_ids"][0])
+    # empty gt slot -> -1 in every group
+    assert (gid[[2, 5, 8, 11]] == -1).all()
+    gt_idx = np.asarray(dn_gt[0])
+    assert gt_idx[0] == 0 and gt_idx[1] == 1     # group0 positives
+    assert (gt_idx[3:6] == -1).all()             # group0 negatives
+    # with label_noise=0 positive classes match the gt classes
+    cls = np.asarray(dn["classes"][0])
+    assert cls[0] == 1 and cls[1] == 4
+    b = np.asarray(dn["boxes"])
+    assert (b > 0).all() and (b < 1).all()
+    # positive boxes are nearer their gt than negatives (centre distance)
+    d_pos = np.abs(b[0, 0, :2] - np.asarray(gt_b[0, 0, :2])).sum()
+    d_neg = np.abs(b[0, 3, :2] - np.asarray(gt_b[0, 0, :2])).sum()
+    assert d_pos < d_neg + 1e-6
+
+
+def test_dn_attention_mask():
+    from robust_object_detection_tpu.models.rtdetr import _dn_attention_mask
+    gid = jnp.asarray([[0, 0, 1, -1]], jnp.int32)
+    mask = np.asarray(_dn_attention_mask(gid, 6)[0, 0])   # 4 dn + 2 match
+    assert mask[0, 1] and not mask[0, 2]         # same group yes, other no
+    assert mask[0, 4] and mask[0, 5]             # dn sees matching queries
+    assert not mask[4, 0] and mask[4, 5]         # matching never sees dn
+    assert not mask[1, 3] and mask[3, 3]         # empty slot isolated+diag
+
+
+def test_dn_training_smoke():
+    model = R.RTDETR(R.RtDetrConfig(queries=40, dec_layers=2))
+    tx, _ = TR.make_optimizer()
+    state = TR.init_state(model, jax.random.key(0), IMG, tx)
+    step = jax.jit(TR.make_train_step(model, tx, IMG, None, False,
+                                      denoise=True, dn_max_gt=8))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randint(0, 255, (2, IMG, IMG, 3), dtype=np.uint8))
+    gb = np.zeros((2, 16, 4), np.float32)
+    gc = np.full((2, 16), -1, np.int32)
+    gb[0, 0] = [10, 10, 60, 60]
+    gc[0, 0] = 2
+    losses = []
+    for _ in range(8):
+        state, m = step(state, img, jnp.asarray(gb), jnp.asarray(gc),
+                        jax.random.key(0))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and "dn" in m
+    assert losses[-1] < losses[0]
+
+
 def test_postprocess_decode():
     """Sharp logits at one (query, class) dominate the top-k decode."""
     L, B, Q, nc = 1, 1, 10, 6

@@ -135,6 +135,48 @@ def cmd_eval(args):
                         results_name=args.results_name)
 
 
+def cmd_validate(args):
+    """Structural dataset checks (reference: paths.check_dataset,
+    paths.py:11-23, + the converters' kept/removed audits)."""
+    from pathlib import Path
+    root = Path(args.root)
+    problems = []
+    if args.kind == "visdrone-det":
+        for sub in ("images", "annotations"):
+            if not (root / sub).is_dir():
+                problems.append(f"missing {root / sub}")
+        n_img = len(list((root / "images").glob("*.jpg")))
+        n_ann = len(list((root / "annotations").glob("*.txt")))
+        print(f"[validate] images={n_img} annotations={n_ann}")
+        if n_img == 0:
+            problems.append("no images")
+    elif args.kind == "coco":
+        ann = root / "annotations" / f"instances_{args.split}.json"
+        if not ann.exists():
+            problems.append(f"missing {ann}")
+        else:
+            from .data.convert import load_coco
+            idx = load_coco(ann)
+            n_missing = sum(
+                1 for im in idx["images"].values()
+                if not (root / "images" / args.split /
+                        im["file_name"]).exists())
+            n_boxes = sum(len(v) for v in idx["anns_by_image"].values())
+            print(f"[validate] images={len(idx['images'])} "
+                  f"annotations={n_boxes} missing_files={n_missing}")
+            if n_missing:
+                problems.append(f"{n_missing} image files missing")
+    else:   # yolo
+        n_img = len(list((root / "images" / args.split).glob("*.jpg")))
+        n_lbl = len(list((root / "labels" / args.split).glob("*.txt")))
+        print(f"[validate] images={n_img} labels={n_lbl}")
+        if not (root / "data.yaml").exists():
+            problems.append("missing data.yaml")
+    if problems:
+        raise SystemExit("[validate] FAILED: " + "; ".join(problems))
+    print("[validate] OK")
+
+
 def cmd_eval_vid(args):
     """eval_vid.py: VID checkpoints evaluated on the DET testsets
     (docs/07_vid_experiment.md:127-134 — deliberate design)."""
@@ -233,6 +275,12 @@ def main(argv=None):
         (("--layout",), {"default": "coco6"}),
         (("--results-name",), {"default": "eval_results"}),
         (("--out",), {"default": "experiments"}))
+
+    add("validate", cmd_validate,
+        (("--root",), {"required": True}),
+        (("--kind",), {"default": "coco",
+                       "choices": ["visdrone-det", "coco", "yolo"]}),
+        (("--split",), {"default": "val"}))
 
     add("eval-vid", cmd_eval_vid,
         (("--model",), {"action": "append", "required": True}),

@@ -49,7 +49,7 @@ HALO = 4
 WPAD = 4          # pixel columns each side (blur k=9 -> 4; lowres -> 2)
 
 
-def _kernel(choice_ref, seed_ref, in_hbm, out_ref, scratch, sem,
+def _kernel(choice_ref, seed_ref, in_hbm, out_ref, scratch, sems,
             *, sigma: float, blur_k: int, c: int, w: int, quantize: bool):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -61,16 +61,35 @@ def _kernel(choice_ref, seed_ref, in_hbm, out_ref, scratch, sem,
 
     b = pl.program_id(0)
     t = pl.program_id(1)
-    wc = (w + 2 * WPAD) * c
+    n_t = pl.num_programs(1)
+    n_total = pl.num_programs(0) * n_t
 
-    # window: rows [t*TILE_H, t*TILE_H + TILE_H + 2*HALO) of the padded image
-    dma = pltpu.make_async_copy(
-        in_hbm.at[b, pl.ds(t * TILE_H, TILE_H + 2 * HALO)], scratch, sem)
-    dma.start()
-    dma.wait()
+    # Double-buffered halo DMA: grid steps run sequentially on the core, so
+    # step s waits on the window started at step s-1 and prefetches step
+    # s+1's window into the other slot (guide: Patterns/Double Buffering).
+    step = b * n_t + t
+
+    def window_dma(s, slot):
+        bs = s // n_t
+        ts = s % n_t
+        return pltpu.make_async_copy(
+            in_hbm.at[bs, pl.ds(ts * TILE_H, TILE_H + 2 * HALO)],
+            scratch.at[slot], sems.at[slot])
+
+    slot = step % 2
+
+    @pl.when(step == 0)
+    def _():
+        window_dma(step, slot).start()
+
+    @pl.when(step + 1 < n_total)
+    def _():
+        window_dma(step + 1, (step + 1) % 2).start()
+
+    window_dma(step, slot).wait()
 
     choice = choice_ref[b]
-    x = scratch[:]                                    # (TILE_H+4, wc)
+    x = scratch[slot]                                 # (TILE_H+2H, wc)
     core = x[HALO:HALO + TILE_H, :]
 
     interior = slice(WPAD * c, WPAD * c + w * c)
@@ -191,8 +210,8 @@ def fused_random_corruption(img: jax.Array, key: jax.Array,
             lambda b, t, *pref: (b, t, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TILE_H + 2 * HALO, wc_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TILE_H + 2 * HALO, wc_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(

@@ -48,12 +48,15 @@ def evaluate_on_samples(predict_fn: Callable, state, samples,
             samples, batch_size, img_size, max_boxes=max_boxes)):
         images = (jax.device_put(batch.images, ctx.data) if ctx
                   else batch.images)
-        pending.append((batch, predict_fn(state, images)))
-    for batch, outputs in pending:
+        # keep only the light metadata — holding every decoded canvas for
+        # a full testset would pin ~2 GB of host RAM
+        meta = (batch.image_ids, batch.scales, batch.num_valid)
+        pending.append((meta, predict_fn(state, images)))
+    for (image_ids, scales, num_valid), outputs in pending:
         boxes, scores, classes, valid = jax.device_get(outputs)
-        for i in range(batch.num_valid):
-            img_id = int(batch.image_ids[i])
-            s = batch.scales[i]
+        for i in range(num_valid):
+            img_id = int(image_ids[i])
+            s = scales[i]
             v = valid[i]
             b = boxes[i][v] / s                       # canvas -> original px
             sample = samples[n_images + i]
@@ -68,7 +71,7 @@ def evaluate_on_samples(predict_fn: Callable, state, samples,
                        if len(gb) else np.zeros((0, 4), np.float32))
             ground_truth[img_id] = coco_map.GroundTruth(
                 boxes=gt_xywh, classes=sample.classes.astype(np.int64) + 1)
-        n_images += batch.num_valid
+        n_images += num_valid
     elapsed = time.time() - t0
     result = coco_map.evaluate(detections, ground_truth,
                                categories=list(range(1, 7)))

@@ -210,6 +210,7 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
     hist = artifacts.HistoryLogger(out_dir)
     key = jax.random.key(tcfg.seed)
     steps = 0
+    mean_loss = 0.0     # survives a resume of an already-complete run
     start_epoch = 1
     # restore-and-continue (the reference rewrites last.pth but cannot
     # resume — SURVEY.md §5 checkpoint/resume)

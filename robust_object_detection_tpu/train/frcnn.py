@@ -265,7 +265,19 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
     key = jax.random.key(cfg.train.seed)
     steps = 0
     mean_loss = 0.0
-    for epoch in range(1, epochs + 1):
+    start_epoch = 1
+    restored = ckpt.restore_last({
+        "params": state.params, "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state, "step": state.step})
+    if restored is not None:
+        r = restored["state"]
+        state = FrcnnTrainState(r["params"], r["batch_stats"],
+                                r["opt_state"], r["step"])
+        state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated),
+                             state)
+        start_epoch = restored["step"] + 1
+        steps = int(jax.device_get(state.step))
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         losses = []
         for batch in pipe.prefetch(pipe.make_batches(
@@ -282,7 +294,9 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
         hist.log(epoch=epoch, train_loss=mean_loss, lr=float(sched(steps)),
                  epoch_sec=round(time.time() - t0, 2))
         ckpt.save_last(epoch, {"params": state.params,
-                               "batch_stats": state.batch_stats})
+                               "batch_stats": state.batch_stats,
+                               "opt_state": state.opt_state,
+                               "step": state.step})
         if max_steps and steps >= max_steps:
             break
     ckpt.save_best(epochs, {"params": state.params,
@@ -303,7 +317,11 @@ def load_checkpoint(out_dir: str | Path, img_size: int = 64,
     ckpt = CheckpointManager(out_dir)
     restored = ckpt.restore_best(target)
     if restored is None:
-        latest = ckpt.restore_last(target)
+        # `last` carries the full resume payload
+        tx, _ = make_optimizer()
+        full = dict(target, opt_state=tx.init(variables["params"]),
+                    step=jnp.asarray(0))
+        latest = ckpt.restore_last(full)
         if latest is None:
             ckpt.close()
             raise FileNotFoundError(f"no checkpoint under {out_dir}")

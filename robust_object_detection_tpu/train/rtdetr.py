@@ -426,7 +426,20 @@ def train(cfg, data_root, out_dir, augment: bool = False,
     key = jax.random.key(cfg.train.seed)
     steps = 0
     mean_loss = 0.0
-    for epoch in range(1, epochs + 1):
+    start_epoch = 1
+    restored = ckpt.restore_last({
+        "params": state.params, "batch_stats": state.batch_stats,
+        "ema_params": state.ema_params, "opt_state": state.opt_state,
+        "step": state.step})
+    if restored is not None:
+        r = restored["state"]
+        state = RtdetrTrainState(r["params"], r["batch_stats"],
+                                 r["ema_params"], r["opt_state"], r["step"])
+        state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated),
+                             state)
+        start_epoch = restored["step"] + 1
+        steps = int(jax.device_get(state.step))
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         losses = []
         for batch in pipe.prefetch(pipe.make_batches(
@@ -444,7 +457,9 @@ def train(cfg, data_root, out_dir, augment: bool = False,
                  epoch_sec=round(time.time() - t0, 2))
         ckpt.save_last(epoch, {"params": state.params,
                                "batch_stats": state.batch_stats,
-                               "ema_params": state.ema_params})
+                               "ema_params": state.ema_params,
+                               "opt_state": state.opt_state,
+                               "step": state.step})
         if max_steps and steps >= max_steps:
             break
     ckpt.save_best(epochs, {"params": state.params,
@@ -465,7 +480,10 @@ def load_checkpoint(out_dir, img_size: int = 64):
     ckpt = CheckpointManager(out_dir)
     restored = ckpt.restore_best(target)
     if restored is None:
-        latest = ckpt.restore_last(target)
+        tx, _ = make_optimizer()
+        full = dict(target, opt_state=tx.init(variables["params"]),
+                    step=jnp.asarray(0))
+        latest = ckpt.restore_last(full)
         if latest is None:
             ckpt.close()
             raise FileNotFoundError(f"no checkpoint under {out_dir}")

@@ -36,3 +36,23 @@ def test_detector_train_resume(tmp_path):
 
     model, state = detector.load_checkpoint(out, variant="n", img_size=64)
     assert state.params is not None
+
+
+def test_frcnn_train_resume(tmp_path):
+    from robust_object_detection_tpu.models import frcnn as F
+    from robust_object_detection_tpu.train import frcnn as TF
+
+    det = synthetic.make_det_split(tmp_path / "det", n_images=4,
+                                   size_range=((64, 65), (64, 65)))
+    convert.convert_det_to_coco(det, tmp_path / "coco", "train")
+    cfg = ExperimentConfig(train=TrainConfig(seed=0),
+                           mesh=MeshConfig(data=1, model=1))
+    out = tmp_path / "run"
+    kwargs = dict(augment=False, epochs=2, img_size=64, batch_size=2,
+                  max_boxes=16)
+    TF.train(cfg, tmp_path / "coco", out, max_steps=1, **kwargs)
+    TF.train(cfg, tmp_path / "coco", out, **kwargs)
+    hist = artifacts.read_jsonl(out / "history.jsonl")
+    assert [h["epoch"] for h in hist] == [1, 2]
+    model, state = TF.load_checkpoint(out, img_size=64)
+    assert state.params is not None

@@ -81,7 +81,8 @@ def cmd_train_detector(args):
                              epochs=args.epochs, img_size=args.img_size,
                              batch_size=args.batch_size,
                              max_steps=args.max_steps,
-                             layout=args.data_layout)
+                             layout=args.data_layout,
+                             pretrained=args.pretrained)
     elif args.model == "frcnn":
         from .train import frcnn
         out = frcnn.train(cfg, args.data_root, args.out,
@@ -264,7 +265,11 @@ def main(argv=None):
         (("--max-steps",), {"type": int, "default": None}),
         (("--data-layout",), {"default": "coco",
                               "choices": ["coco", "yolo"],
-                              "help": "yolo = VID-flattened layout"}))
+                              "help": "yolo = VID-flattened layout"}),
+        (("--pretrained",), {"default": None,
+                             "help": "torch checkpoint to import "
+                                     "(yolov8m.pt-style, reference "
+                                     "train_yolo_augmented.py:25)"}))
 
     add("eval", cmd_eval,
         (("--model",), {"action": "append", "required": True,

@@ -1,0 +1,264 @@
+"""Pretrained-checkpoint import: named mappers for the reference's models.
+
+Every reference detector starts from pretrained weights — torchvision's
+COCO-pretrained Faster R-CNN (train_frcnn_baseline.py:139 ``weights=
+"DEFAULT"``) and Ultralytics ``yolov8m.pt`` / ``rtdetr-l.pt``
+(train_yolo_augmented.py:25, train_rtdetr_augmented.py:25) — and the eval
+sweep loads the trained ``best.pt``/``best.pth`` artifacts
+(eval_all.py:47-54). This module maps those torch state dicts onto our Flax
+models by NAME (the serialisation layouts of torchvision/Ultralytics are a
+stable public contract), unlike models/import_torch.py's order-based
+structural matcher which cannot handle torch modules whose registration
+order differs from call order (e.g. C2f registers cv1, cv2 then m.*, but
+calls cv2 last).
+
+Layout conversions are shared with import_torch (OIHW->HWIO etc.). Class-
+count mismatches in final prediction layers (COCO-80 checkpoint onto an
+nc=6 model) are skipped with a report line when ``strict_head=False`` — the
+same "transferred N/M items" behaviour Ultralytics applies when fine-tuning.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from . import import_torch as it
+
+
+class ImportReport:
+    """Collects per-tensor outcomes; str() is a human-readable summary."""
+
+    def __init__(self) -> None:
+        self.imported: List[str] = []
+        self.skipped: List[str] = []
+
+    def __str__(self) -> str:
+        lines = [f"imported {len(self.imported)} tensors, "
+                 f"skipped {len(self.skipped)}"]
+        lines += [f"  SKIP {s}" for s in self.skipped]
+        return "\n".join(lines)
+
+
+def load_checkpoint_state(path: str, allow_pickle: bool = False
+                          ) -> Dict[str, np.ndarray]:
+    """Load a torch ``.pt``/``.pth`` into {key: float32 ndarray}.
+
+    Handles the three payload shapes the reference produces/consumes:
+      * plain state dicts and {"model": state_dict} wrappers
+        (train_frcnn_baseline.py:196 saves {"model": state_dict, ...}),
+      * Ultralytics checkpoints whose "model"/"ema" entry is a pickled
+        nn.Module — those require ``allow_pickle=True`` because
+        ``weights_only=True`` cannot unpickle arbitrary classes. Only set
+        it for checkpoints you trust; prefer pre-exported state dicts.
+    """
+    import torch
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not a plain-tensor checkpoint (Ultralytics "
+                f".pt files pickle the whole nn.Module). Re-load with "
+                f"allow_pickle=True if the file is trusted, or export "
+                f"its state_dict first.")
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("ema", "model"):
+        if isinstance(obj, dict) and obj.get(key) is not None:
+            obj = obj[key]
+            break
+    if hasattr(obj, "state_dict"):          # an nn.Module payload
+        obj = obj.float().state_dict()
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().float().numpy()
+    return out
+
+
+def strip_prefix(state: Dict[str, np.ndarray], prefix: str
+                 ) -> Dict[str, np.ndarray]:
+    """Remove one leading prefix ("model.") from every key that has it."""
+    n = len(prefix)
+    return {(k[n:] if k.startswith(prefix) else k): v
+            for k, v in state.items()}
+
+
+# ── tree plumbing ────────────────────────────────────────────────────────
+
+def _get(tree: dict, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            raise KeyError("/".join(path))
+        node = node[p]
+    return node
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    node[path[-1]] = value
+
+
+def _copy_tree(tree):
+    if isinstance(tree, dict):
+        return {k: _copy_tree(v) for k, v in tree.items()}
+    return tree
+
+
+class _Mapper:
+    """Applies torch tensors onto a {"params","batch_stats"} tree copy."""
+
+    def __init__(self, variables: dict, state: Dict[str, np.ndarray]):
+        self.params = _copy_tree(variables["params"])
+        self.stats = _copy_tree(variables.get("batch_stats", {}))
+        self.state = dict(state)
+        self.report = ImportReport()
+
+    def take(self, key: str) -> np.ndarray:
+        return self.state.pop(key)
+
+    def conv(self, tkey: str, fpath: Tuple[str, ...],
+             bias: bool = False, dense: bool = False,
+             strict: bool = True) -> bool:
+        """torch ``{tkey}.weight``(+``.bias``) -> flax kernel(+bias)."""
+        w = self.take(f"{tkey}.weight")
+        conv = (it.dense_kernel(w) if dense else it.conv_kernel(w))
+        target = _get(self.params, fpath + ("kernel",))
+        if conv.shape != target.shape:
+            if strict:
+                raise ValueError(f"{tkey}: {conv.shape} does not fit "
+                                 f"{'/'.join(fpath)} {target.shape}")
+            self.report.skipped.append(
+                f"{tkey} {conv.shape} vs {target.shape}")
+            if bias:
+                self.take(f"{tkey}.bias")
+            return False
+        _set(self.params, fpath + ("kernel",), conv.astype(target.dtype))
+        if bias:
+            b = self.take(f"{tkey}.bias")
+            tb = _get(self.params, fpath + ("bias",))
+            _set(self.params, fpath + ("bias",), b.astype(tb.dtype))
+        self.report.imported.append(tkey)
+        return True
+
+    def bn(self, tkey: str, fpath: Tuple[str, ...],
+           skip: bool = False) -> None:
+        """torch BN ``{tkey}.{weight,bias,running_mean,running_var}`` ->
+        flax BatchNorm params + batch_stats."""
+        if skip:
+            for tleaf in ("weight", "bias", "running_mean", "running_var"):
+                self.take(f"{tkey}.{tleaf}")
+            self.state.pop(f"{tkey}.num_batches_tracked", None)
+            return
+        for tleaf, fleaf, tree in (("weight", "scale", self.params),
+                                   ("bias", "bias", self.params),
+                                   ("running_mean", "mean", self.stats),
+                                   ("running_var", "var", self.stats)):
+            v = self.take(f"{tkey}.{tleaf}")
+            target = _get(tree, fpath + (fleaf,))
+            if v.shape != target.shape:
+                raise ValueError(f"{tkey}.{tleaf}: {v.shape} vs "
+                                 f"{target.shape} at {'/'.join(fpath)}")
+            _set(tree, fpath + (fleaf,), v.astype(target.dtype))
+        self.state.pop(f"{tkey}.num_batches_tracked", None)
+        self.report.imported.append(tkey)
+
+    def conv_bn(self, tkey: str, fpath: Tuple[str, ...],
+                strict: bool = True) -> None:
+        """An Ultralytics ``Conv`` block: {tkey}.conv + {tkey}.bn ->
+        ConvBnAct (Conv_0 kernel + BatchNorm_0). With strict=False a
+        shape-mismatched block is skipped whole (conv AND its BN)."""
+        ok = self.conv(f"{tkey}.conv", fpath + ("Conv_0",), strict=strict)
+        self.bn(f"{tkey}.bn", fpath + ("BatchNorm_0",), skip=not ok)
+
+    def ln(self, tkey: str, fpath: Tuple[str, ...]) -> None:
+        """torch LayerNorm -> flax LayerNorm (scale/bias)."""
+        for tleaf, fleaf in (("weight", "scale"), ("bias", "bias")):
+            v = self.take(f"{tkey}.{tleaf}")
+            target = _get(self.params, fpath + (fleaf,))
+            if v.shape != target.shape:
+                raise ValueError(f"{tkey}.{tleaf}: {v.shape} vs "
+                                 f"{target.shape}")
+            _set(self.params, fpath + (fleaf,), v.astype(target.dtype))
+        self.report.imported.append(tkey)
+
+    def finish(self, variables: dict, ignore=()) -> dict:
+        leftovers = [k for k in self.state
+                     if not any(k.startswith(p) for p in ignore)
+                     and not k.endswith("num_batches_tracked")]
+        if leftovers:
+            raise ValueError(f"{len(leftovers)} torch tensors unmapped, "
+                             f"first: {leftovers[:5]}")
+        out = dict(variables, params=self.params)
+        if self.stats:
+            out["batch_stats"] = self.stats
+        return out
+
+
+# ── YOLOv8 (Ultralytics DetectionModel layout) ───────────────────────────
+
+def _c2f(m: _Mapper, t: str, f: Tuple[str, ...], n: int) -> None:
+    """C2f: torch cv1/cv2/m.j.cv{1,2} -> flax ConvBnAct_0/ConvBnAct_1/
+    Bottleneck_j/ConvBnAct_{0,1} (registration order differs from call
+    order, hence the explicit table)."""
+    m.conv_bn(f"{t}.cv1", f + ("ConvBnAct_0",))
+    m.conv_bn(f"{t}.cv2", f + ("ConvBnAct_1",))
+    for j in range(n):
+        m.conv_bn(f"{t}.m.{j}.cv1", f + (f"Bottleneck_{j}", "ConvBnAct_0"))
+        m.conv_bn(f"{t}.m.{j}.cv2", f + (f"Bottleneck_{j}", "ConvBnAct_1"))
+
+
+def import_yolov8(state: Dict[str, np.ndarray], variables: dict,
+                  variant: str = "m", strict_head: bool = True
+                  ) -> Tuple[dict, ImportReport]:
+    """Map an Ultralytics YOLOv8 detection state dict onto models/yolov8.py.
+
+    state: keys like ``model.0.conv.weight`` (DetectionModel.state_dict();
+    the ``model.`` prefix is stripped here). The layer-index topology is
+    the yolov8 yaml: 0-9 backbone, 12/15/16/18/19/21 neck, 22 Detect.
+    strict_head=False skips class-count-mismatched final cls convs (COCO-80
+    checkpoint onto an nc=6 model) keeping their fresh init.
+    """
+    from .yolov8 import YoloConfig
+
+    cfg = YoloConfig(6, variant)
+    state = strip_prefix(state, "model.")
+    m = _Mapper(variables, state)
+    B = ("Backbone_0",)
+    N = ("Neck_0",)
+    H = ("Head_0",)
+    m.conv_bn("0", B + ("ConvBnAct_0",))
+    m.conv_bn("1", B + ("ConvBnAct_1",))
+    _c2f(m, "2", B + ("C2f_0",), cfg.depth(3))
+    m.conv_bn("3", B + ("ConvBnAct_2",))
+    _c2f(m, "4", B + ("C2f_1",), cfg.depth(6))
+    m.conv_bn("5", B + ("ConvBnAct_3",))
+    _c2f(m, "6", B + ("C2f_2",), cfg.depth(6))
+    m.conv_bn("7", B + ("ConvBnAct_4",))
+    _c2f(m, "8", B + ("C2f_3",), cfg.depth(3))
+    m.conv_bn("9.cv1", B + ("SPPF_0", "ConvBnAct_0"))
+    m.conv_bn("9.cv2", B + ("SPPF_0", "ConvBnAct_1"))
+    _c2f(m, "12", N + ("C2f_0",), cfg.depth(3))
+    _c2f(m, "15", N + ("C2f_1",), cfg.depth(3))
+    m.conv_bn("16", N + ("ConvBnAct_0",))
+    _c2f(m, "18", N + ("C2f_2",), cfg.depth(3))
+    m.conv_bn("19", N + ("ConvBnAct_1",))
+    _c2f(m, "21", N + ("C2f_3",), cfg.depth(3))
+    for i in range(3):
+        m.conv_bn(f"22.cv2.{i}.0", H + (f"box{i}_0",))
+        m.conv_bn(f"22.cv2.{i}.1", H + (f"box{i}_1",))
+        m.conv(f"22.cv2.{i}.2", H + (f"box{i}_out",), bias=True)
+        # class branch width is max(ch0, min(nc,100)) — a different-nc
+        # checkpoint can mismatch the whole branch, not just the out conv
+        m.conv_bn(f"22.cv3.{i}.0", H + (f"cls{i}_0",), strict=strict_head)
+        m.conv_bn(f"22.cv3.{i}.1", H + (f"cls{i}_1",), strict=strict_head)
+        m.conv(f"22.cv3.{i}.2", H + (f"cls{i}_out",), bias=True,
+               strict=strict_head)
+    # 22.dfl.conv.weight is the fixed arange(16) integral kernel — our
+    # decode computes the DFL expectation directly (yolov8.dfl_expectation)
+    m.state.pop("22.dfl.conv.weight", None)
+    return m.finish(variables), m.report

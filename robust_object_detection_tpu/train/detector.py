@@ -35,6 +35,7 @@ from ..ops import corrupt as corrupt_ops
 from ..ops import nms as nms_ops
 from ..parallel import mesh as mesh_lib
 from . import detection as det_loss
+from . import validation
 
 
 @dataclasses.dataclass
@@ -165,13 +166,27 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
           img_size: Optional[int] = None, batch_size: Optional[int] = None,
           max_steps: Optional[int] = None, max_boxes: int = 600,
           layout: str = "coco", base_augment: bool = True,
-          mosaic: bool = True, close_mosaic: int = 10) -> dict:
+          mosaic: bool = True, close_mosaic: int = 10,
+          val_interval: int = 1,
+          pretrained: Optional[str] = None) -> dict:
     """Train a YOLO detector on a COCO- or YOLO-layout dataset root.
 
     layout="yolo" covers the VID experiments: VisDrone-VID sequences are
     flattened to YOLO-layout frames by data/convert.convert_vid_to_yolo
     (reference: train_vid_{yolo,rtdetr}_{baseline,augmented}.py train on
     visdrone_vid_yolo6/data.yaml).
+
+    val_interval: run a val-split mAP pass every N epochs (and always on the
+    final epoch), logging mAP50/mAP50_95 to history and keeping the
+    best-mAP50 checkpoint — the Ultralytics per-epoch val/fitness behaviour
+    (0 = final-epoch-only, the reference-FRCNN pattern). Skipped when the
+    root has no val split.
+
+    pretrained: path to a torch YOLOv8 checkpoint (Ultralytics ``.pt`` or
+    an exported state dict) imported via models/pretrained.import_yolov8
+    before training — the reference always starts from ``yolov8m.pt``
+    (train_yolo_augmented.py:25). Class-count-mismatched head layers keep
+    their fresh init.
     """
     tcfg = cfg.train
     epochs = epochs or tcfg.epochs
@@ -197,6 +212,18 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
         3 * steps_per_epoch, max(1, total_steps // 10)),
         total_steps=total_steps)
     state = init_state(model, jax.random.key(tcfg.seed), img_size, tx)
+    if pretrained:
+        from ..models import pretrained as pt
+        tsd = pt.load_checkpoint_state(pretrained, allow_pickle=True)
+        newv, report = pt.import_yolov8(
+            tsd, {"params": state.params,
+                  "batch_stats": state.batch_stats},
+            variant=variant, strict_head=False)
+        print(f"pretrained import ({pretrained}): {report}")
+        state = DetTrainState(
+            newv["params"], newv["batch_stats"],
+            jax.tree.map(jnp.copy, newv["params"]),
+            tx.init(newv["params"]), jnp.asarray(0))
     state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
 
     train_step = jax.jit(
@@ -205,6 +232,14 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
         in_shardings=(ctx.replicated, ctx.data, ctx.data, ctx.data, None),
         out_shardings=(ctx.replicated, ctx.replicated),
         donate_argnums=(0,))
+
+    val_samples = validation.index_val_samples(data_root, layout)
+    predict_fn = None
+    if val_samples:
+        predict_fn = jax.jit(
+            make_predict_step(model, img_size),
+            in_shardings=(ctx.replicated, ctx.data),
+            out_shardings=ctx.replicated)
 
     ckpt = CheckpointManager(out_dir)
     hist = artifacts.HistoryLogger(out_dir)
@@ -250,8 +285,17 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
             if max_steps and steps >= max_steps:
                 break
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-        hist.log(epoch=epoch, train_loss=mean_loss,
-                 lr=float(sched(steps)), epoch_sec=round(time.time() - t0, 2))
+        record = dict(epoch=epoch, train_loss=mean_loss,
+                      lr=float(sched(steps)),
+                      epoch_sec=round(time.time() - t0, 2))
+        if validation.should_validate(epoch, epochs, val_interval,
+                                      bool(val_samples)):
+            vm = validation.run_validation(predict_fn, state, val_samples,
+                                           img_size, batch_size, ctx,
+                                           max_boxes=max_boxes)
+            record.update(vm)
+            ckpt.save_best(epoch, _ckpt_payload(state), vm["mAP50"])
+        hist.log(**record)
         ckpt.save_last(epoch, {"params": state.params,
                                "batch_stats": state.batch_stats,
                                "ema_params": state.ema_params,
@@ -259,7 +303,10 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
                                "step": state.step})
         if max_steps and steps >= max_steps:
             break
-    ckpt.save_best(epochs, _ckpt_payload(state), 0.0)  # final = best for now
+    if ckpt.best_metric() is None:
+        # no val split (or the run broke out before any val pass):
+        # final = best, the round-1 behaviour
+        ckpt.save_best(epochs, _ckpt_payload(state), 0.0)
     ckpt.close()
     return {"out_dir": str(out_dir), "steps": steps,
             "final_loss": mean_loss}

@@ -29,6 +29,7 @@ from ..models import frcnn as F
 from ..ops import corrupt as corrupt_ops
 from ..ops import nms as nms_ops
 from ..parallel import mesh as mesh_lib
+from . import validation
 
 HEAD_DELTA_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
 
@@ -241,8 +242,13 @@ def make_optimizer(lr: float = 0.005, momentum: float = 0.9,
 def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
           augment: bool = False, epochs: int = 24, img_size: int = 1024,
           batch_size: int = 2, max_steps: Optional[int] = None,
-          max_boxes: int = 600) -> dict:
-    """Full FRCNN training driver (reference: 24 epochs, batch 2)."""
+          max_boxes: int = 600, val_interval: int = 0) -> dict:
+    """Full FRCNN training driver (reference: 24 epochs, batch 2).
+
+    val_interval=0 reproduces the reference pattern — a single COCOeval
+    after the final epoch selects best.pth (train_frcnn_baseline.py:198-208);
+    val_interval=N adds an every-N-epochs val pass with mAP50/mAP50_95
+    history records and best-by-mAP50 checkpointing."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     mesh = mesh_lib.make_mesh(cfg.mesh)
@@ -259,6 +265,14 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
         in_shardings=(ctx.replicated, ctx.data, ctx.data, ctx.data, None),
         out_shardings=(ctx.replicated, ctx.replicated),
         donate_argnums=(0,))
+
+    val_samples = validation.index_val_samples(data_root, "coco")
+    predict_fn = None
+    if val_samples:
+        predict_fn = jax.jit(
+            make_predict_step(model, img_size),
+            in_shardings=(ctx.replicated, ctx.data),
+            out_shardings=ctx.replicated)
 
     ckpt = CheckpointManager(out_dir)
     hist = artifacts.HistoryLogger(out_dir)
@@ -291,16 +305,28 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
             if max_steps and steps >= max_steps:
                 break
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-        hist.log(epoch=epoch, train_loss=mean_loss, lr=float(sched(steps)),
-                 epoch_sec=round(time.time() - t0, 2))
+        record = dict(epoch=epoch, train_loss=mean_loss,
+                      lr=float(sched(steps)),
+                      epoch_sec=round(time.time() - t0, 2))
+        if validation.should_validate(epoch, epochs, val_interval,
+                                      bool(val_samples)):
+            vm = validation.run_validation(predict_fn, state, val_samples,
+                                           img_size, batch_size, ctx,
+                                           max_boxes=max_boxes)
+            record.update(vm)
+            ckpt.save_best(epoch, {"params": state.params,
+                                   "batch_stats": state.batch_stats},
+                           vm["mAP50"])
+        hist.log(**record)
         ckpt.save_last(epoch, {"params": state.params,
                                "batch_stats": state.batch_stats,
                                "opt_state": state.opt_state,
                                "step": state.step})
         if max_steps and steps >= max_steps:
             break
-    ckpt.save_best(epochs, {"params": state.params,
-                            "batch_stats": state.batch_stats}, 0.0)
+    if ckpt.best_metric() is None:
+        ckpt.save_best(epochs, {"params": state.params,
+                                "batch_stats": state.batch_stats}, 0.0)
     ckpt.close()
     return {"out_dir": str(out_dir), "steps": steps, "final_loss": mean_loss}
 

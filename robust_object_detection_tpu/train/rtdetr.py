@@ -24,6 +24,7 @@ from ..core.config import CorruptionConfig
 from ..models import rtdetr as R
 from ..ops import boxes as box_ops
 from ..ops import corrupt as corrupt_ops
+from . import validation
 
 BIG = 1e6
 W_CLASS, W_L1, W_GIOU = 1.0, 5.0, 2.0
@@ -312,10 +313,18 @@ jax.tree_util.register_pytree_node(
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
                    warmup_steps: int = 500, total_steps: int = 100000,
-                   clip: float = 0.1):
+                   clip: float = 0.1, lrf: float = 1.0):
+    """AdamW + warmup then linear decay lr -> lr*lrf over the run.
+
+    The reference's Ultralytics RT-DETR run decays lr0 -> lr0*lrf
+    (experiments/rtdetr/augmented/args.yaml: lr0=1e-4 with lrf decay over
+    100 epochs); lrf=1.0 keeps the flat-after-warmup behaviour for short
+    smoke runs."""
     sched = optax.join_schedules(
         [optax.linear_schedule(0.0, lr, warmup_steps),
-         optax.constant_schedule(lr)], [warmup_steps])
+         optax.linear_schedule(lr, lr * lrf,
+                               max(1, total_steps - warmup_steps))],
+        [warmup_steps])
     tx = optax.chain(optax.clip_by_global_norm(clip),
                      optax.adamw(sched, weight_decay=weight_decay))
     return tx, sched
@@ -392,9 +401,15 @@ def make_predict_step(model: R.RTDETR, img_size: int, max_det: int = 300,
 def train(cfg, data_root, out_dir, augment: bool = False,
           epochs: int = 100, img_size: int = 1024, batch_size: int = 4,
           max_steps: Optional[int] = None, max_boxes: int = 600,
-          layout: str = "coco") -> dict:
+          layout: str = "coco", val_interval: int = 1,
+          lrf: float = 0.01) -> dict:
     """Full RT-DETR training driver (reference: 100 epochs, batch 2 at
-    imgsz=1024, train_rtdetr_augmented.py:27-42)."""
+    imgsz=1024, train_rtdetr_augmented.py:27-42).
+
+    lrf: final-LR fraction — warmup then linear decay lr0 -> lr0*lrf over
+    the run, matching the reference's Ultralytics schedule (args.yaml
+    lrf=0.01, cos_lr=false). val_interval: every-N-epochs val mAP pass with
+    best-by-mAP50 checkpointing (Ultralytics validates each epoch)."""
     import time
     from pathlib import Path
 
@@ -412,7 +427,8 @@ def train(cfg, data_root, out_dir, augment: bool = False,
                else pipe.index_yolo(data_root, "train"))
     steps_per_epoch = max(1, len(samples) // batch_size)
     model = R.create(6)
-    tx, sched = make_optimizer(total_steps=epochs * steps_per_epoch)
+    tx, sched = make_optimizer(total_steps=epochs * steps_per_epoch,
+                               lrf=lrf)
     state = init_state(model, jax.random.key(cfg.train.seed), img_size, tx)
     state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
     step_fn = jax.jit(
@@ -420,6 +436,14 @@ def train(cfg, data_root, out_dir, augment: bool = False,
         in_shardings=(ctx.replicated, ctx.data, ctx.data, ctx.data, None),
         out_shardings=(ctx.replicated, ctx.replicated),
         donate_argnums=(0,))
+
+    val_samples = validation.index_val_samples(data_root, layout)
+    predict_fn = None
+    if val_samples:
+        predict_fn = jax.jit(
+            make_predict_step(model, img_size),
+            in_shardings=(ctx.replicated, ctx.data),
+            out_shardings=ctx.replicated)
 
     ckpt = CheckpointManager(out_dir)
     hist = artifacts.HistoryLogger(out_dir)
@@ -453,8 +477,20 @@ def train(cfg, data_root, out_dir, augment: bool = False,
             if max_steps and steps >= max_steps:
                 break
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-        hist.log(epoch=epoch, train_loss=mean_loss, lr=float(sched(steps)),
-                 epoch_sec=round(time.time() - t0, 2))
+        record = dict(epoch=epoch, train_loss=mean_loss,
+                      lr=float(sched(steps)),
+                      epoch_sec=round(time.time() - t0, 2))
+        if validation.should_validate(epoch, epochs, val_interval,
+                                      bool(val_samples)):
+            vm = validation.run_validation(predict_fn, state, val_samples,
+                                           img_size, batch_size, ctx,
+                                           max_boxes=max_boxes)
+            record.update(vm)
+            ckpt.save_best(epoch, {"params": state.params,
+                                   "batch_stats": state.batch_stats,
+                                   "ema_params": state.ema_params},
+                           vm["mAP50"])
+        hist.log(**record)
         ckpt.save_last(epoch, {"params": state.params,
                                "batch_stats": state.batch_stats,
                                "ema_params": state.ema_params,
@@ -462,9 +498,10 @@ def train(cfg, data_root, out_dir, augment: bool = False,
                                "step": state.step})
         if max_steps and steps >= max_steps:
             break
-    ckpt.save_best(epochs, {"params": state.params,
-                            "batch_stats": state.batch_stats,
-                            "ema_params": state.ema_params}, 0.0)
+    if ckpt.best_metric() is None:
+        ckpt.save_best(epochs, {"params": state.params,
+                                "batch_stats": state.batch_stats,
+                                "ema_params": state.ema_params}, 0.0)
     ckpt.close()
     return {"out_dir": str(out_dir), "steps": steps, "final_loss": mean_loss}
 

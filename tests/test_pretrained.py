@@ -1,0 +1,102 @@
+"""Pretrained-checkpoint import parity (models/pretrained.py).
+
+The reference starts every detector from pretrained torch weights
+(train_frcnn_baseline.py:139, train_yolo_augmented.py:25,
+train_rtdetr_augmented.py:25). These tests build pure-torch replicas whose
+``state_dict()`` key layout matches the real checkpoints and assert the
+mapped Flax model reproduces the torch forward outputs.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from robust_object_detection_tpu.models import pretrained  # noqa: E402
+from robust_object_detection_tpu.models import yolov8 as Y  # noqa: E402
+
+
+def _torch_state(model):
+    return {k: v.detach().numpy()
+            for k, v in model.state_dict().items()}
+
+
+class TestYoloImport:
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from tests._torch_yolo import DetectionModel, randomize
+        tm = randomize(DetectionModel(nc=6, variant="n"))
+        fm = Y.create(6, "n")
+        fv = Y.init_variables(fm, jax.random.key(0), 64)
+        # self.model container => keys already look like model.0.conv.weight
+        state = _torch_state(tm)
+        fv2, report = pretrained.import_yolov8(state, fv, variant="n")
+        return tm, fm, fv2, report
+
+    def test_all_tensors_consumed(self, pair):
+        _, _, _, report = pair
+        assert not report.skipped
+
+    def test_forward_parity(self, pair):
+        tm, fm, fv2, _ = pair
+        rng = np.random.RandomState(3)
+        x = rng.rand(2, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            touts = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        fouts = fm.apply(fv2, jnp.asarray(x), train=False)
+        for (tb, tc), (fb, fc) in zip(touts, fouts):
+            np.testing.assert_allclose(
+                np.asarray(fb), tb.numpy().transpose(0, 2, 3, 1),
+                atol=2e-4, rtol=1e-3)
+            np.testing.assert_allclose(
+                np.asarray(fc), tc.numpy().transpose(0, 2, 3, 1),
+                atol=2e-4, rtol=1e-3)
+
+    def test_head_mismatch_partial_import(self):
+        """COCO-80 checkpoint onto an nc=6 model: cls out convs skipped,
+        everything else imported (the Ultralytics transfer behaviour)."""
+        from tests._torch_yolo import DetectionModel, randomize
+        tm80 = randomize(DetectionModel(nc=80, variant="n"))
+        fm = Y.create(6, "n")
+        fv = Y.init_variables(fm, jax.random.key(0), 64)
+        state = _torch_state(tm80)
+        with pytest.raises(ValueError):
+            pretrained.import_yolov8(state, fv, variant="n")
+        fv2, report = pretrained.import_yolov8(state, fv, variant="n",
+                                               strict_head=False)
+        # variant n: c3 = max(64, 80) widens the whole cls branch ->
+        # 3 blocks x 3 levels skipped
+        assert len(report.skipped) == 9
+        # backbone weights actually moved
+        a = fv["params"]["Backbone_0"]["ConvBnAct_0"]["Conv_0"]["kernel"]
+        b = fv2["params"]["Backbone_0"]["ConvBnAct_0"]["Conv_0"]["kernel"]
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_load_checkpoint_state_plain_and_wrapped(tmp_path):
+    w = {"layer.weight": torch.randn(3, 3)}
+    p1 = tmp_path / "plain.pth"
+    torch.save(w, p1)
+    s1 = pretrained.load_checkpoint_state(str(p1))
+    assert list(s1) == ["layer.weight"] and s1["layer.weight"].shape == (3, 3)
+
+    p2 = tmp_path / "wrapped.pth"
+    torch.save({"model": w, "epoch": 3}, p2)
+    s2 = pretrained.load_checkpoint_state(str(p2))
+    assert list(s2) == ["layer.weight"]
+
+
+def test_load_checkpoint_state_module_payload(tmp_path):
+    """Ultralytics-style checkpoint: {"model": nn.Module}. weights_only
+    load fails -> explicit allow_pickle opt-in required."""
+    m = torch.nn.Conv2d(3, 4, 1)
+    p = tmp_path / "module.pt"
+    torch.save({"model": m, "train_args": {}}, p)
+    with pytest.raises(ValueError, match="allow_pickle"):
+        pretrained.load_checkpoint_state(str(p))
+    s = pretrained.load_checkpoint_state(str(p), allow_pickle=True)
+    assert set(s) == {"weight", "bias"}

@@ -89,7 +89,8 @@ def cmd_train_detector(args):
                           augment=args.augment, epochs=args.epochs or 24,
                           img_size=args.img_size,
                           batch_size=args.batch_size or 2,
-                          max_steps=args.max_steps)
+                          max_steps=args.max_steps,
+                          pretrained=args.pretrained)
     elif args.model == "rtdetr":
         from .train import rtdetr
         out = rtdetr.train(cfg, args.data_root, args.out,

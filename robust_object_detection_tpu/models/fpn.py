@@ -23,15 +23,30 @@ from flax import linen as nn
 
 
 class FPN(nn.Module):
-    """(C2..C5) -> (P2..P6), all `features` channels."""
+    """(C2..C5) -> (P2..P6), all `features` channels.
+
+    norm=True is the v2 layout (torchvision _resnet_fpn_extractor with
+    norm_layer=BatchNorm2d: every lateral/post conv is bias-free and
+    followed by BN) — required for importing fasterrcnn_resnet50_fpn_v2
+    checkpoints; norm=False is the classic bias-only FPN."""
     features: int = 256
     dtype: Any = jnp.float32
+    norm: bool = True
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False
                  ) -> List[jax.Array]:
-        laterals = [nn.Conv(self.features, (1, 1), dtype=self.dtype,
-                            name=f"lateral{i}")(f)
+        def block(x, kernel, name):
+            p = kernel // 2
+            x = nn.Conv(self.features, (kernel, kernel),
+                        padding=((p, p), (p, p)), use_bias=not self.norm,
+                        dtype=self.dtype, name=name)(x)
+            if self.norm:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 dtype=jnp.float32, name=f"{name}_bn")(x)
+            return x
+
+        laterals = [block(f, 1, f"lateral{i}")
                     for i, f in enumerate(feats)]
         outs = [laterals[-1]]
         for lat in laterals[-2::-1]:
@@ -41,9 +56,7 @@ class FPN(nn.Module):
                                   (n, h, 2, w, 2, c)).reshape(n, h * 2,
                                                               w * 2, c)
             outs.insert(0, lat + up)
-        outs = [nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
-                        dtype=self.dtype, name=f"post{i}")(o)
-                for i, o in enumerate(outs)]
+        outs = [block(o, 3, f"post{i}") for i, o in enumerate(outs)]
         # P6: stride-2 max-pool of P5 (torchvision LastLevelMaxPool).
         outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
         return outs

@@ -220,6 +220,11 @@ class FasterRCNN(nn.Module):
         rois = fpn_lib.roi_align(tuple(pyramid[:4]), proposals)
         return self.box_head(rois, train)
 
+    def roi_forward_pooled(self, _images, rois, train: bool = False):
+        """Box head on pre-pooled (B, R, 7, 7, C) RoI features (import
+        parity tests drive the head in isolation)."""
+        return self.box_head(rois, train)
+
     def __call__(self, images, proposals=None, train: bool = False):
         """Full forward for init/tracing: extract + RoI on given or dummy
         proposals."""

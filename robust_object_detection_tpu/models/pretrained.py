@@ -262,3 +262,81 @@ def import_yolov8(state: Dict[str, np.ndarray], variables: dict,
     # decode computes the DFL expectation directly (yolov8.dfl_expectation)
     m.state.pop("22.dfl.conv.weight", None)
     return m.finish(variables), m.report
+
+
+# ── Faster R-CNN (torchvision fasterrcnn_resnet50_fpn_v2 layout) ─────────
+
+RESNET50_STAGES = (3, 4, 6, 3)
+
+
+def import_frcnn(state: Dict[str, np.ndarray], variables: dict,
+                 strict_head: bool = True) -> Tuple[dict, ImportReport]:
+    """Map a torchvision ``fasterrcnn_resnet50_fpn_v2`` state dict onto
+    models/frcnn.FasterRCNN (the checkpoint the reference fine-tunes from,
+    train_frcnn_baseline.py:139 ``weights="DEFAULT"``, and the ``best.pth``
+    artifacts eval_all.py:79-87 reloads).
+
+    strict_head=False skips the class-count-dependent box_predictor layers
+    (COCO-91 checkpoint onto the 7-class model) keeping their fresh init.
+    Requires the model built with the v2 FPN (fpn.FPN(norm=True)).
+    """
+    m = _Mapper(variables, state)
+    # ResNet-50 body: conv1/bn1 stem + 16 bottlenecks across layer1..4
+    m.conv("backbone.body.conv1", ("backbone", "Conv_0"))
+    m.bn("backbone.body.bn1", ("backbone", "BatchNorm_0"))
+    blk = 0
+    for s, n_blocks in enumerate(RESNET50_STAGES):
+        for j in range(n_blocks):
+            t = f"backbone.body.layer{s + 1}.{j}"
+            f = ("backbone", f"BottleneckBlock_{blk}")
+            for c in range(3):
+                m.conv(f"{t}.conv{c + 1}", f + (f"Conv_{c}",))
+                m.bn(f"{t}.bn{c + 1}", f + (f"BatchNorm_{c}",))
+            if f"{t}.downsample.0.weight" in m.state:
+                m.conv(f"{t}.downsample.0", f + ("Conv_3",))
+                m.bn(f"{t}.downsample.1", f + ("BatchNorm_3",))
+            blk += 1
+    # FPN v2: inner/layer blocks are Conv2dNormActivation(conv+BN)
+    for i in range(4):
+        m.conv(f"backbone.fpn.inner_blocks.{i}.0",
+               ("fpn", f"lateral{i}"))
+        m.bn(f"backbone.fpn.inner_blocks.{i}.1",
+             ("fpn", f"lateral{i}_bn"))
+        m.conv(f"backbone.fpn.layer_blocks.{i}.0", ("fpn", f"post{i}"))
+        m.bn(f"backbone.fpn.layer_blocks.{i}.1", ("fpn", f"post{i}_bn"))
+    # RPN v2 head: two 3x3 convs (bias, no norm) + 1x1 obj/box outs
+    m.conv("rpn.head.conv.0.0", ("rpn_head", "conv0"), bias=True)
+    m.conv("rpn.head.conv.1.0", ("rpn_head", "conv1"), bias=True)
+    m.conv("rpn.head.cls_logits", ("rpn_head", "obj"), bias=True)
+    m.conv("rpn.head.bbox_pred", ("rpn_head", "box"), bias=True)
+    # v2 box head: 4x (conv bias-free + BN) + flatten + FC 1024
+    for i in range(4):
+        m.conv(f"roi_heads.box_head.{i}.0", ("box_head", f"Conv_{i}"))
+        m.bn(f"roi_heads.box_head.{i}.1", ("box_head", f"BatchNorm_{i}"))
+    _dense_chw(m, "roi_heads.box_head.5", ("box_head", "Dense_0"),
+               chw=(256, 7, 7))
+    m.conv("roi_heads.box_predictor.cls_score",
+           ("box_head", "Dense_1"), bias=True, dense=True,
+           strict=strict_head)
+    m.conv("roi_heads.box_predictor.bbox_pred",
+           ("box_head", "Dense_2"), bias=True, dense=True,
+           strict=strict_head)
+    return m.finish(variables), m.report
+
+
+def _dense_chw(m: _Mapper, tkey: str, fpath: Tuple[str, ...],
+               chw: Tuple[int, int, int]) -> None:
+    """torch Linear over a flattened NCHW tensor -> flax Dense over the
+    flattened NHWC tensor: permute the input axis C,H,W -> H,W,C."""
+    w = m.take(f"{tkey}.weight")                    # (out, C*H*W)
+    c, h, ww = chw
+    w = w.reshape(w.shape[0], c, h, ww).transpose(0, 2, 3, 1)
+    w = w.reshape(w.shape[0], -1).T                 # (H*W*C, out)
+    target = _get(m.params, fpath + ("kernel",))
+    if w.shape != target.shape:
+        raise ValueError(f"{tkey}: {w.shape} vs {target.shape}")
+    _set(m.params, fpath + ("kernel",), w.astype(target.dtype))
+    b = m.take(f"{tkey}.bias")
+    tb = _get(m.params, fpath + ("bias",))
+    _set(m.params, fpath + ("bias",), b.astype(tb.dtype))
+    m.report.imported.append(tkey)

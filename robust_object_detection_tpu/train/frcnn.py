@@ -242,13 +242,19 @@ def make_optimizer(lr: float = 0.005, momentum: float = 0.9,
 def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
           augment: bool = False, epochs: int = 24, img_size: int = 1024,
           batch_size: int = 2, max_steps: Optional[int] = None,
-          max_boxes: int = 600, val_interval: int = 0) -> dict:
+          max_boxes: int = 600, val_interval: int = 0,
+          pretrained: Optional[str] = None) -> dict:
     """Full FRCNN training driver (reference: 24 epochs, batch 2).
 
     val_interval=0 reproduces the reference pattern — a single COCOeval
     after the final epoch selects best.pth (train_frcnn_baseline.py:198-208);
     val_interval=N adds an every-N-epochs val pass with mAP50/mAP50_95
-    history records and best-by-mAP50 checkpointing."""
+    history records and best-by-mAP50 checkpointing.
+
+    pretrained: torchvision fasterrcnn_resnet50_fpn_v2 checkpoint to import
+    before training (the reference starts COCO-pretrained,
+    train_frcnn_baseline.py:139 weights="DEFAULT"); mismatched-class
+    box_predictor layers keep their fresh init."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     mesh = mesh_lib.make_mesh(cfg.mesh)
@@ -259,6 +265,15 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
     model = F.FasterRCNN()
     tx, sched = make_optimizer(steps_per_epoch=steps_per_epoch)
     state = init_state(model, jax.random.key(cfg.train.seed), img_size, tx)
+    if pretrained:
+        from ..models import pretrained as pt
+        tsd = pt.load_checkpoint_state(pretrained, allow_pickle=True)
+        newv, report = pt.import_frcnn(
+            tsd, {"params": state.params,
+                  "batch_stats": state.batch_stats}, strict_head=False)
+        print(f"pretrained import ({pretrained}): {report}")
+        state = FrcnnTrainState(newv["params"], newv["batch_stats"],
+                                tx.init(newv["params"]), jnp.asarray(0))
     state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
     step_fn = jax.jit(
         make_train_step(model, tx, img_size, cfg.corruption, augment),

@@ -77,6 +77,80 @@ class TestYoloImport:
         assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+class TestFrcnnImport:
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from robust_object_detection_tpu.models import frcnn as F
+        from tests._torch_frcnn import FasterRCNN, randomize
+        tm = randomize(FasterRCNN(num_classes=7))
+        fm = F.FasterRCNN(F.FrcnnConfig(num_proposals=8))
+        fv = fm.init(jax.random.key(0),
+                     jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+        state = {k: v.numpy() for k, v in
+                 tm.state_dict_torchvision().items()}
+        fv2, report = pretrained.import_frcnn(state, fv)
+        return tm, fm, fv2, report
+
+    def test_all_tensors_consumed(self, pair):
+        _, _, _, report = pair
+        assert not report.skipped
+
+    def test_pyramid_and_rpn_parity(self, pair):
+        tm, fm, fv2, _ = pair
+        rng = np.random.RandomState(5)
+        x = rng.rand(1, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            pyr_t, objs_t, boxes_t, _, _ = tm.forward_parts(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                torch.zeros(1, 256, 7, 7))
+        pyr_f, obj_f, deltas_f = fm.apply(fv2, jnp.asarray(x), train=False,
+                                          method=fm.extract)
+        for tp, fp in zip(pyr_t, pyr_f):
+            np.testing.assert_allclose(
+                np.asarray(fp), tp.numpy().transpose(0, 2, 3, 1),
+                atol=5e-4, rtol=1e-3)
+        obj_t = np.concatenate(
+            [o.numpy().transpose(0, 2, 3, 1).reshape(1, -1)
+             for o in objs_t], 1)
+        np.testing.assert_allclose(np.asarray(obj_f), obj_t, atol=5e-4,
+                                   rtol=1e-3)
+        d_t = np.concatenate(
+            [b.numpy().transpose(0, 2, 3, 1).reshape(1, -1, 4)
+             for b in boxes_t], 1)
+        np.testing.assert_allclose(np.asarray(deltas_f), d_t, atol=5e-4,
+                                   rtol=1e-3)
+
+    def test_box_head_parity(self, pair):
+        tm, fm, fv2, _ = pair
+        rng = np.random.RandomState(6)
+        rois = rng.rand(1, 8, 7, 7, 256).astype(np.float32)
+        with torch.no_grad():
+            _, _, _, s_t, d_t = tm.forward_parts(
+                torch.zeros(1, 3, 64, 64),
+                torch.from_numpy(rois[0].transpose(0, 3, 1, 2)))
+        s_f, d_f = fm.apply(fv2, None, jnp.asarray(rois), train=False,
+                            method=fm.roi_forward_pooled)
+        np.testing.assert_allclose(np.asarray(s_f[0]), s_t.numpy(),
+                                   atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(d_f[0]).reshape(8, -1), d_t.numpy(),
+            atol=5e-4, rtol=1e-3)
+
+    def test_coco91_partial_import(self):
+        from robust_object_detection_tpu.models import frcnn as F
+        from tests._torch_frcnn import FasterRCNN, randomize
+        tm = randomize(FasterRCNN(num_classes=91))
+        fm = F.FasterRCNN(F.FrcnnConfig(num_proposals=8))
+        fv = fm.init(jax.random.key(0),
+                     jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+        state = {k: v.numpy() for k, v in
+                 tm.state_dict_torchvision().items()}
+        fv2, report = pretrained.import_frcnn(state, fv,
+                                              strict_head=False)
+        assert len(report.skipped) == 2        # cls_score + bbox_pred
+
+
 def test_load_checkpoint_state_plain_and_wrapped(tmp_path):
     w = {"layer.weight": torch.randn(3, 3)}
     p1 = tmp_path / "plain.pth"

@@ -98,7 +98,8 @@ def cmd_train_detector(args):
                            img_size=args.img_size,
                            batch_size=args.batch_size or 4,
                            max_steps=args.max_steps,
-                           layout=args.data_layout)
+                           layout=args.data_layout,
+                           pretrained=args.pretrained)
     else:
         raise SystemExit(f"unknown model {args.model!r}")
     print(json.dumps(out))
@@ -177,6 +178,16 @@ def cmd_validate(args):
     if problems:
         raise SystemExit("[validate] FAILED: " + "; ".join(problems))
     print("[validate] OK")
+
+
+def cmd_eval_restored(args):
+    """eval_restored.py: baseline checkpoints swept over the U-Net-restored
+    testsets (``<layout>_restored`` roots, eval_restored_results.json —
+    eval_restored.py:42-43,212)."""
+    args.layout = (args.layout if args.layout.endswith("_restored")
+                   else args.layout + "_restored")
+    args.results_name = "eval_restored_results"
+    cmd_eval(args)
 
 
 def cmd_eval_vid(args):
@@ -288,6 +299,16 @@ def main(argv=None):
                        "choices": ["visdrone-det", "coco", "yolo"]}),
         (("--split",), {"default": "val"}))
 
+    add("eval-restored", cmd_eval_restored,
+        (("--model",), {"action": "append", "required": True,
+                        "help": "name=kind:ckpt_dir (repeatable)"}),
+        (("--testset-root",), {"required": True}),
+        (("--img-size",), {"type": int, "default": 1024}),
+        (("--batch-size",), {"type": int, "default": 8}),
+        (("--layout",), {"default": "coco6",
+                         "help": "'_restored' suffix added if absent"}),
+        (("--out",), {"default": "experiments"}))
+
     add("eval-vid", cmd_eval_vid,
         (("--model",), {"action": "append", "required": True}),
         (("--testset-root",), {"required": True}),
@@ -314,6 +335,15 @@ def main(argv=None):
         (("--results",), {"required": True}),
         (("--restored",), {"required": True}),
         (("--out",), {"default": "experiments/figures"}))
+
+    # plot-vid = the DET figure suite over vid_eval_results.json with the
+    # vid_ filename prefix (plot_vid_results.py)
+    sp = sub.add_parser("plot-vid")
+    sp.add_argument("--results", required=True)
+    sp.add_argument("--out", default="experiments/figures")
+    sp.add_argument("--prefix", default="vid_")
+    sp.add_argument("--config", default=None)
+    sp.set_defaults(fn=cmd_plot)
 
     args = p.parse_args(argv)
     args.fn(args)

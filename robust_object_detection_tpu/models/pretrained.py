@@ -324,6 +324,177 @@ def import_frcnn(state: Dict[str, np.ndarray], variables: dict,
     return m.finish(variables), m.report
 
 
+# ── RT-DETR-L (Ultralytics rtdetr-l layout) ──────────────────────────────
+
+def _mha(m: _Mapper, tkey: str, fpath: Tuple[str, ...], heads: int) -> None:
+    """torch nn.MultiheadAttention (packed in_proj) -> flax
+    MultiHeadDotProductAttention (separate q/k/v/out Dense with
+    (c, heads, dh) kernels; head-major layouts line up on both sides)."""
+    w = m.take(f"{tkey}.in_proj_weight")           # (3c, c)
+    bias = m.take(f"{tkey}.in_proj_bias")          # (3c,)
+    c = w.shape[1]
+    dh = c // heads
+    for i, name in enumerate(("query", "key", "value")):
+        wi = w[i * c:(i + 1) * c].T.reshape(c, heads, dh)
+        bi = bias[i * c:(i + 1) * c].reshape(heads, dh)
+        tk = _get(m.params, fpath + (name, "kernel"))
+        if wi.shape != tk.shape:
+            raise ValueError(f"{tkey}.{name}: {wi.shape} vs {tk.shape}")
+        _set(m.params, fpath + (name, "kernel"), wi.astype(tk.dtype))
+        _set(m.params, fpath + (name, "bias"), bi.astype(tk.dtype))
+    wo = m.take(f"{tkey}.out_proj.weight")         # (c, c)
+    bo = m.take(f"{tkey}.out_proj.bias")
+    ko = wo.T.reshape(heads, dh, c)
+    to = _get(m.params, fpath + ("out", "kernel"))
+    if ko.shape != to.shape:
+        raise ValueError(f"{tkey}.out: {ko.shape} vs {to.shape}")
+    _set(m.params, fpath + ("out", "kernel"), ko.astype(to.dtype))
+    _set(m.params, fpath + ("out", "bias"), bo.astype(to.dtype))
+    m.report.imported.append(tkey)
+
+
+def _conv2x2(m: _Mapper, tkey: str, fpath: Tuple[str, ...]) -> None:
+    """HGStem stem2a/stem2b: torch 2x2 OIHW conv -> Conv2x2Pad's (2,2,I,O)
+    kernel + its BN."""
+    w = m.take(f"{tkey}.conv.weight")
+    conv = it.conv_kernel(w)
+    target = _get(m.params, fpath + ("kernel",))
+    if conv.shape != target.shape:
+        raise ValueError(f"{tkey}: {conv.shape} vs {target.shape}")
+    _set(m.params, fpath + ("kernel",), conv.astype(target.dtype))
+    m.bn(f"{tkey}.bn", fpath + ("BatchNorm_0",))
+    m.report.imported.append(tkey)
+
+
+def _hgblock(m: _Mapper, t: str, f: Tuple[str, ...], light: bool,
+             n: int = 6) -> None:
+    for j in range(n):
+        if light:
+            m.conv_bn(f"{t}.m.{j}.conv1",
+                      f + (f"LightConv_{j}", "ConvBnAct_0"))
+            m.conv_bn(f"{t}.m.{j}.conv2",
+                      f + (f"LightConv_{j}", "ConvBnAct_1"))
+        else:
+            m.conv_bn(f"{t}.m.{j}", f + (f"ConvBnAct_{j}",))
+    off = 0 if light else n
+    m.conv_bn(f"{t}.sc", f + (f"ConvBnAct_{off}",))
+    m.conv_bn(f"{t}.ec", f + (f"ConvBnAct_{off + 1}",))
+
+
+def _repc3(m: _Mapper, t: str, f: Tuple[str, ...], n: int = 3) -> None:
+    m.conv_bn(f"{t}.cv1", f + ("cv1",))
+    m.conv_bn(f"{t}.cv2", f + ("cv2",))
+    for j in range(n):
+        m.conv_bn(f"{t}.m.{j}.conv1", f + (f"m{j}", "conv1"))
+        m.conv_bn(f"{t}.m.{j}.conv2", f + (f"m{j}", "conv2"))
+
+
+def _mlp(m: _Mapper, t: str, f: Tuple[str, ...], n: int = 3,
+         strict: bool = True) -> None:
+    for j in range(n):
+        m.conv(f"{t}.layers.{j}", f + (f"Dense_{j}",), bias=True,
+               dense=True, strict=strict)
+
+
+def import_rtdetr(state: Dict[str, np.ndarray], variables: dict,
+                  strict_head: bool = True) -> Tuple[dict, ImportReport]:
+    """Map an Ultralytics RT-DETR-L state dict (``rtdetr-l.pt`` /
+    fine-tuned ``best.pt``, train_rtdetr_augmented.py:25) onto
+    models/rtdetr.RTDETR.
+
+    Covers the full yaml graph: model.0-9 HGNetv2 (incl. the 2x2 stem
+    convs via Conv2x2Pad), 10-27 hybrid encoder (AIFI packed attention,
+    RepC3/RepConv), 28 RTDETRDecoder (input_proj, 6 deformable layers,
+    per-layer heads, denoising embedding). strict_head=False skips
+    class-count-dependent heads (enc/dec score heads, dn embedding) for
+    COCO-80 -> nc=6 fine-tuning starts.
+    """
+    cfg_heads = 8
+    state = strip_prefix(state, "model.")
+    m = _Mapper(variables, state)
+    B = ("HGNetV2L_0",)
+    # backbone
+    st = B + ("HGStem_0",)
+    m.conv_bn("0.stem1", st + ("stem1",))
+    _conv2x2(m, "0.stem2a", st + ("stem2a",))
+    _conv2x2(m, "0.stem2b", st + ("stem2b",))
+    m.conv_bn("0.stem3", st + ("stem3",))
+    m.conv_bn("0.stem4", st + ("stem4",))
+    _hgblock(m, "1", B + ("HGBlock_0",), light=False)
+    m.conv_bn("2", B + ("ConvBnAct_0",))
+    _hgblock(m, "3", B + ("HGBlock_1",), light=False)
+    m.conv_bn("4", B + ("ConvBnAct_1",))
+    _hgblock(m, "5", B + ("HGBlock_2",), light=True)
+    _hgblock(m, "6", B + ("HGBlock_3",), light=True)
+    _hgblock(m, "7", B + ("HGBlock_4",), light=True)
+    m.conv_bn("8", B + ("ConvBnAct_2",))
+    _hgblock(m, "9", B + ("HGBlock_5",), light=True)
+    # hybrid encoder
+    E = ("encoder",)
+    m.conv_bn("10", E + ("proj2",))
+    A = E + ("aifi",)
+    _mha(m, "11.ma", A + ("ma",), cfg_heads)
+    m.conv("11.fc1", A + ("fc1",), bias=True, dense=True)
+    m.conv("11.fc2", A + ("fc2",), bias=True, dense=True)
+    m.ln("11.norm1", A + ("norm1",))
+    m.ln("11.norm2", A + ("norm2",))
+    m.conv_bn("12", E + ("lateral0",))
+    m.conv_bn("14", E + ("proj1",))
+    _repc3(m, "16", E + ("fpn0",))
+    m.conv_bn("17", E + ("lateral1",))
+    m.conv_bn("19", E + ("proj0",))
+    _repc3(m, "21", E + ("fpn1",))
+    m.conv_bn("22", E + ("down0",))
+    _repc3(m, "24", E + ("pan0",))
+    m.conv_bn("25", E + ("down1",))
+    _repc3(m, "27", E + ("pan1",))
+    # decoder (model.28)
+    D = "28"
+    for i in range(3):
+        m.conv(f"{D}.input_proj.{i}.0", (f"dec_proj{i}", "Conv_0"))
+        m.bn(f"{D}.input_proj.{i}.1", (f"dec_proj{i}", "BatchNorm_0"))
+    m.conv(f"{D}.enc_output.0", ("enc_output",), bias=True, dense=True)
+    m.ln(f"{D}.enc_output.1", ("enc_norm",))
+    m.conv(f"{D}.enc_score_head", ("enc_score",), bias=True, dense=True,
+           strict=strict_head)
+    _mlp(m, f"{D}.enc_bbox_head", ("enc_bbox",))
+    _embed_rows(m, f"{D}.denoising_class_embed", ("dn_class_embed",))
+    _mlp(m, f"{D}.query_pos_head", ("query_pos",), n=2)
+    n_layers = len({k.split(".")[3] for k in m.state
+                    if k.startswith(f"{D}.decoder.layers.")})
+    for li in range(n_layers):
+        t = f"{D}.decoder.layers.{li}"
+        f = (f"layer{li}",)
+        _mha(m, f"{t}.self_attn", f + ("self_attn",), cfg_heads)
+        for sub in ("sampling_offsets", "attention_weights", "value_proj",
+                    "output_proj"):
+            m.conv(f"{t}.cross_attn.{sub}", f + ("cross_attn", sub),
+                   bias=True, dense=True)
+        for sub in ("norm1", "norm2", "norm3"):
+            m.ln(f"{t}.{sub}", f + (sub,))
+        m.conv(f"{t}.linear1", f + ("linear1",), bias=True, dense=True)
+        m.conv(f"{t}.linear2", f + ("linear2",), bias=True, dense=True)
+        m.conv(f"{D}.dec_score_head.{li}", (f"dec_score{li}",), bias=True,
+               dense=True, strict=strict_head)
+        _mlp(m, f"{D}.dec_bbox_head.{li}", (f"dec_bbox{li}",))
+    return m.finish(variables), m.report
+
+
+def _embed_rows(m: _Mapper, tkey: str, fpath: Tuple[str, ...]) -> None:
+    """torch nn.Embedding -> flax nn.Embed; our table carries one extra
+    background row (nc+1) which keeps its fresh init when the torch table
+    is one row shorter."""
+    w = m.take(f"{tkey}.weight")
+    target = _get(m.params, fpath + ("embedding",))
+    if w.shape[1] != target.shape[1] or w.shape[0] > target.shape[0]:
+        m.report.skipped.append(f"{tkey} {w.shape} vs {target.shape}")
+        return
+    new = np.array(target)
+    new[:w.shape[0]] = w
+    _set(m.params, fpath + ("embedding",), new.astype(target.dtype))
+    m.report.imported.append(tkey)
+
+
 def _dense_chw(m: _Mapper, tkey: str, fpath: Tuple[str, ...],
                chw: Tuple[int, int, int]) -> None:
     """torch Linear over a flattened NCHW tensor -> flax Dense over the

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops import deform
 from .layers import ConvBnAct
 
 relu = nn.relu
@@ -66,29 +67,61 @@ class LightConv(nn.Module):
         return x
 
 
-class HGStem(nn.Module):
-    """Stem: 3x3/2 -> parallel (conv path | max-pool) -> 3x3/2 -> 1x1.
+class Conv2x2Pad(nn.Module):
+    """PP-HGNet stem conv: right/bottom zero-pad then 2x2 VALID conv + BN
+    + ReLU (Ultralytics HGStem stem2a/stem2b: F.pad(x, [0,1,0,1]) before a
+    k=2 p=0 Conv).
 
-    TPU deviation from PP-HGNet: the original's 2x2 VALID convs with
-    asymmetric right/bottom padding trigger an XLA space-to-batch compiler
-    abort in the backward pass on TPU (space_to_batch_converter check
-    failure) and tile poorly; symmetric SAME 3x3 convs keep the same
-    channel/stride structure.
+    TPU formulation: the literal asymmetric-pad 2x2 conv triggers an XLA
+    space-to-batch converter abort in the backward pass. Embedding the 2x2
+    kernel at the bottom-right of a zero 3x3 kernel and running a symmetric
+    SAME conv is bit-identical (out(i,j) = sum_{dy,dx in {0,1}}
+    k(dy,dx)*x(i+dy, j+dx) either way) and tiles cleanly. The parameter
+    stays (2,2,cin,cout) so gradients never leak into the zero taps and
+    torch checkpoints import 1:1.
     """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        from .layers import current_bn_dtype
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, cin, self.features))
+        k3 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k3.astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=current_bn_dtype())(y)
+        return relu(y)
+
+
+class HGStem(nn.Module):
+    """PP-HGNetv2 stem, faithful to Ultralytics HGStem: 3x3/2 ->
+    [2x2-pool path | stem2a/stem2b 2x2-conv path] -> concat(pool, conv) ->
+    3x3/2 -> 1x1. The 2x2 convs use the symmetric embedding (Conv2x2Pad);
+    the 2x2 stride-1 ceil-mode pool becomes a right/bottom-padded max-pool
+    (equivalent for the ReLU'd, hence non-negative, stem1 output)."""
     cm: int = 32
     out: int = 48
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = ConvBnAct(self.cm, 3, 2, act_fn=relu, dtype=self.dtype)(x, train)
-        a = ConvBnAct(self.cm // 2, 3, act_fn=relu, dtype=self.dtype)(x,
-                                                                      train)
-        a = ConvBnAct(self.cm, 3, act_fn=relu, dtype=self.dtype)(a, train)
-        b = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
-        x = jnp.concatenate([a, b], -1)
-        x = ConvBnAct(self.cm, 3, 2, act_fn=relu, dtype=self.dtype)(x, train)
-        x = ConvBnAct(self.out, 1, act_fn=relu, dtype=self.dtype)(x, train)
+        x = ConvBnAct(self.cm, 3, 2, act_fn=relu, dtype=self.dtype,
+                      name="stem1")(x, train)
+        a = Conv2x2Pad(self.cm // 2, dtype=self.dtype, name="stem2a")(
+            x, train)
+        a = Conv2x2Pad(self.cm, dtype=self.dtype, name="stem2b")(a, train)
+        b = nn.max_pool(x, (2, 2), strides=(1, 1),
+                        padding=((0, 1), (0, 1)))
+        x = jnp.concatenate([b, a], -1)            # pool first (cat order)
+        x = ConvBnAct(self.cm, 3, 2, act_fn=relu, dtype=self.dtype,
+                      name="stem3")(x, train)
+        x = ConvBnAct(self.out, 1, act_fn=relu, dtype=self.dtype,
+                      name="stem4")(x, train)
         return x
 
 
@@ -151,19 +184,28 @@ class HGNetV2L(nn.Module):
 
 def sincos_pos_embed_2d(h: int, w: int, dim: int,
                         temperature: float = 10000.0) -> np.ndarray:
-    """(h*w, dim) 2D sine-cosine positional embedding (AIFI)."""
-    gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+    """(h*w, dim) 2D sine-cosine positional embedding (AIFI).
+
+    Replicates Ultralytics build_2d_sincos_position_embedding exactly,
+    including its meshgrid(w, h, indexing="ij") orientation: the first
+    sin/cos half runs over flat_index // h and the second over
+    flat_index % h (for square maps: row-index first) — required for
+    rtdetr-l.pt output parity."""
     pos_dim = dim // 4
-    omega = 1.0 / (temperature ** (np.arange(pos_dim) / pos_dim))
-    out_x = gx.reshape(-1, 1) * omega[None]
-    out_y = gy.reshape(-1, 1) * omega[None]
-    return np.concatenate([np.sin(out_x), np.cos(out_x),
-                           np.sin(out_y), np.cos(out_y)],
+    omega = 1.0 / (temperature ** (np.arange(pos_dim, dtype=np.float32)
+                                   / pos_dim))
+    gw, gh = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32), indexing="ij")
+    out_w = gw.reshape(-1, 1) * omega[None]
+    out_h = gh.reshape(-1, 1) * omega[None]
+    return np.concatenate([np.sin(out_w), np.cos(out_w),
+                           np.sin(out_h), np.cos(out_h)],
                           axis=1).astype(np.float32)
 
 
 class AIFI(nn.Module):
-    """One transformer encoder layer over the flattened P5 map."""
+    """One transformer encoder layer over the flattened P5 map
+    (post-norm, GELU FFN — the Ultralytics AIFI defaults)."""
     hidden: int = 256
     heads: int = 8
     ffn: int = 1024
@@ -176,29 +218,47 @@ class AIFI(nn.Module):
         pos = jnp.asarray(sincos_pos_embed_2d(h, w, c))[None]
         q = seq + pos
         attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype)(q, q, seq)
-        seq = nn.LayerNorm()(seq + attn)
-        ff = nn.Dense(self.ffn, dtype=self.dtype)(seq)
-        ff = nn.Dense(self.hidden, dtype=self.dtype)(relu(ff))
-        seq = nn.LayerNorm()(seq + ff.astype(jnp.float32))
+            num_heads=self.heads, dtype=self.dtype, name="ma")(q, q, seq)
+        seq = nn.LayerNorm(epsilon=1e-5, name="norm1")(seq + attn)
+        ff = nn.Dense(self.ffn, dtype=self.dtype, name="fc1")(seq)
+        ff = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(
+            jax.nn.gelu(ff, approximate=False))
+        seq = nn.LayerNorm(epsilon=1e-5, name="norm2")(
+            seq + ff.astype(jnp.float32))
         return seq.reshape(b, h, w, c)
 
 
+class RepConv(nn.Module):
+    """Structural-reparam conv (train form): parallel 3x3 + 1x1 conv-BN
+    branches summed, then SiLU (Ultralytics RepConv with bn=False)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        a = ConvBnAct(self.features, 3, act=False, dtype=self.dtype,
+                      name="conv1")(x, train)
+        b = ConvBnAct(self.features, 1, act=False, dtype=self.dtype,
+                      name="conv2")(x, train)
+        return nn.silu(a + b)
+
+
 class RepC3(nn.Module):
-    """CSP-style fusion block: two 1x1 branches, 3 inner 3x3 convs."""
+    """CSP-style fusion block: cv2(x) + RepConv-chain(cv1(x)) — the
+    Ultralytics RepC3 (cv3 is Identity at equal widths; convs are SiLU)."""
     features: int
     n: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        a = ConvBnAct(self.features, 1, act_fn=relu, dtype=self.dtype)(x,
-                                                                       train)
-        for _ in range(self.n):
-            a = ConvBnAct(self.features, 3, act_fn=relu,
-                          dtype=self.dtype)(a, train)
-        b = ConvBnAct(self.features, 1, act_fn=relu, dtype=self.dtype)(x,
-                                                                       train)
+        a = ConvBnAct(self.features, 1, dtype=self.dtype, name="cv1")(
+            x, train)
+        for i in range(self.n):
+            a = RepConv(self.features, dtype=self.dtype, name=f"m{i}")(
+                a, train)
+        b = ConvBnAct(self.features, 1, dtype=self.dtype, name="cv2")(
+            x, train)
         return a + b
 
 
@@ -208,24 +268,33 @@ class HybridEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train=False):
+        """CCFF exactly as the rtdetr-l yaml head (layers 10-27): SiLU
+        lateral/downsample convs (Ultralytics Conv default act), act-free
+        1x1 input projections, RepC3 fusion."""
         c = self.cfg.hidden
         d = self.dtype
         p3, p4, p5 = [ConvBnAct(c, 1, act=False, dtype=d,
                                 name=f"proj{i}")(f, train)
                       for i, f in enumerate(feats)]
-        p5 = AIFI(c, self.cfg.heads, self.cfg.ffn, d)(p5, train)
-        # top-down (CCFF)
-        lat5 = ConvBnAct(c, 1, act_fn=relu, dtype=d)(p5, train)
+        p5 = AIFI(c, self.cfg.heads, self.cfg.ffn, d, name="aifi")(
+            p5, train)
+        # top-down (CCFF); concat order is (upsampled, lateral) — yaml
+        # Concat[[-2,-1]] puts the earlier (upsample) branch first
+        lat5 = ConvBnAct(c, 1, dtype=d, name="lateral0")(p5, train)
         up5 = _up2x(lat5)
-        t4 = RepC3(c, dtype=d)(jnp.concatenate([up5, p4], -1), train)
-        lat4 = ConvBnAct(c, 1, act_fn=relu, dtype=d)(t4, train)
+        t4 = RepC3(c, dtype=d, name="fpn0")(
+            jnp.concatenate([up5, p4], -1), train)
+        lat4 = ConvBnAct(c, 1, dtype=d, name="lateral1")(t4, train)
         up4 = _up2x(lat4)
-        t3 = RepC3(c, dtype=d)(jnp.concatenate([up4, p3], -1), train)
+        t3 = RepC3(c, dtype=d, name="fpn1")(
+            jnp.concatenate([up4, p3], -1), train)
         # bottom-up
-        d3 = ConvBnAct(c, 3, 2, act_fn=relu, dtype=d)(t3, train)
-        o4 = RepC3(c, dtype=d)(jnp.concatenate([d3, lat4], -1), train)
-        d4 = ConvBnAct(c, 3, 2, act_fn=relu, dtype=d)(o4, train)
-        o5 = RepC3(c, dtype=d)(jnp.concatenate([d4, lat5], -1), train)
+        d3 = ConvBnAct(c, 3, 2, dtype=d, name="down0")(t3, train)
+        o4 = RepC3(c, dtype=d, name="pan0")(
+            jnp.concatenate([d3, lat4], -1), train)
+        d4 = ConvBnAct(c, 3, 2, dtype=d, name="down1")(o4, train)
+        o5 = RepC3(c, dtype=d, name="pan1")(
+            jnp.concatenate([d4, lat5], -1), train)
         return t3, o4, o5
 
 
@@ -279,7 +348,7 @@ class MSDeformAttn(nn.Module):
             # sample points for this level: (B, Q, H, P, 2) in pixel coords
             sx = loc[..., l, :, 0] * wl - 0.5
             sy = loc[..., l, :, 1] * hl - 0.5
-            sampled = _bilinear_sample(v, sx, sy)       # (B, Q, H, P, dh)
+            sampled = deform.bilinear_sample(v, sx, sy)  # (B, Q, H, P, dh)
             out = out + (sampled * attn[..., l, :, None]).sum(-2)
 
         out = out.reshape(b, q, c)
@@ -299,44 +368,6 @@ def _offset_bias_init(n_h, n_l, n_p):
     def init(key, shape, dtype=jnp.float32):
         return jnp.asarray(flat, dtype)
     return init
-
-
-def _bilinear_sample(v, sx, sy):
-    """v: (B, H, W, heads, dh); sx/sy: (B, Q, heads, P) pixel coords.
-    Returns (B, Q, heads, P, dh) with zero padding outside.
-
-    All 4 bilinear taps are gathered in ONE take_along_axis: the backward
-    pass of each gather is a scatter-add into the value map — with 3
-    levels x 6 decoder layers, 4 separate taps would cost 72 scatters per
-    train step; fusing them quarters that.
-    """
-    b, h, w, n_h, dh = v.shape
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = sx - x0
-    fy = sy - y0
-
-    flat = v.reshape(b, h * w * n_h, dh)
-    # fold the head into the flat index so each point gathers only its own
-    # head's dh channels
-    head_ids = jax.lax.broadcasted_iota(jnp.int32, sx.shape, 2)
-
-    idxs, wgts = [], []
-    for xi, yi, wgt in ((x0, y0, (1 - fx) * (1 - fy)),
-                        (x0 + 1, y0, fx * (1 - fy)),
-                        (x0, y0 + 1, (1 - fx) * fy),
-                        (x0 + 1, y0 + 1, fx * fy)):
-        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        idxs.append((yi_c * w + xi_c) * n_h + head_ids)
-        wgts.append(jnp.where(inside, wgt, 0.0))
-    idx = jnp.stack(idxs, -1)                    # (B, Q, heads, P, 4)
-    wgt = jnp.stack(wgts, -1)
-    g = jnp.take_along_axis(
-        flat, idx.reshape(b, -1, 1), axis=1
-    ).reshape(b, *idx.shape[1:], dh)             # (B, Q, heads, P, 4, dh)
-    return (g * wgt[..., None]).sum(-2)
 
 
 # ── Decoder ──────────────────────────────────────────────────────────────
@@ -363,15 +394,17 @@ class DecoderLayer(nn.Module):
                  train=False, attn_mask=None):
         q = query + query_pos
         sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.cfg.heads, dtype=self.dtype)(
+            num_heads=self.cfg.heads, dtype=self.dtype, name="self_attn")(
             q, q, query, mask=attn_mask)
-        query = nn.LayerNorm()(query + sa)
-        ca = MSDeformAttn(self.cfg, self.dtype)(
+        query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query + sa)
+        ca = MSDeformAttn(self.cfg, self.dtype, name="cross_attn")(
             query + query_pos, ref_boxes, value_levels, train)
-        query = nn.LayerNorm()(query + ca)
-        ff = nn.Dense(self.cfg.ffn, dtype=self.dtype)(query)
-        ff = nn.Dense(self.cfg.hidden, dtype=self.dtype)(relu(ff))
-        return nn.LayerNorm()(query + ff.astype(jnp.float32))
+        query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query + ca)
+        ff = nn.Dense(self.cfg.ffn, dtype=self.dtype, name="linear1")(query)
+        ff = nn.Dense(self.cfg.hidden, dtype=self.dtype,
+                      name="linear2")(relu(ff))
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(
+            query + ff.astype(jnp.float32))
 
 
 class RTDETR(nn.Module):
@@ -392,16 +425,23 @@ class RTDETR(nn.Module):
         (+ every real query stays blind to all dn queries)."""
         cfg = self.cfg
         feats = HGNetV2L(self.dtype)(x, train)
-        levels = HybridEncoder(cfg, self.dtype)(feats, train)
+        levels = HybridEncoder(cfg, self.dtype, name="encoder")(feats,
+                                                                train)
 
         b = x.shape[0]
         c = cfg.hidden
+        # decoder input projections (RTDETRDecoder.input_proj: 1x1 conv-BN
+        # per level, applied before both query selection and the
+        # deformable-attention value maps)
+        levels = [ConvBnAct(c, 1, act=False, dtype=self.dtype,
+                            name=f"dec_proj{i}")(f, train)
+                  for i, f in enumerate(levels)]
         flat = jnp.concatenate([f.reshape(b, -1, c) for f in levels], 1)
         anchors, valid_mask = _build_anchors(
             [(f.shape[1], f.shape[2]) for f in levels])
 
         mem = nn.Dense(c, dtype=self.dtype, name="enc_output")(flat)
-        mem = nn.LayerNorm(name="enc_norm")(mem)
+        mem = nn.LayerNorm(epsilon=1e-5, name="enc_norm")(mem)
         enc_logits = nn.Dense(cfg.num_classes, name="enc_score")(mem
                                                                  ).astype(
             jnp.float32)
@@ -443,15 +483,17 @@ class RTDETR(nn.Module):
         layers_logits, layers_boxes = [], []
         query = content
         pos_mlp = MLP(2 * c, c, 2, self.dtype, name="query_pos")
-        score_head = nn.Dense(cfg.num_classes, name="dec_score")
-        bbox_head = MLP(c, 4, 3, self.dtype, name="dec_bbox")
         for li in range(cfg.dec_layers):
+            # per-layer score/bbox heads (RTDETRDecoder.dec_score_head /
+            # dec_bbox_head are ModuleLists, one entry per decoder layer)
             query_pos = pos_mlp(ref)
             query = DecoderLayer(cfg, self.dtype, name=f"layer{li}")(
                 query, ref, levels, query_pos, train, attn_mask)
-            delta = bbox_head(query)
+            delta = MLP(c, 4, 3, self.dtype, name=f"dec_bbox{li}")(query)
             new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
-            layers_logits.append(score_head(query).astype(jnp.float32))
+            layers_logits.append(
+                nn.Dense(cfg.num_classes, name=f"dec_score{li}")(
+                    query).astype(jnp.float32))
             layers_boxes.append(new_ref)
             ref = jax.lax.stop_gradient(new_ref)
         logits = jnp.stack(layers_logits)       # (L, B, D+Q, nc)

@@ -402,7 +402,7 @@ def train(cfg, data_root, out_dir, augment: bool = False,
           epochs: int = 100, img_size: int = 1024, batch_size: int = 4,
           max_steps: Optional[int] = None, max_boxes: int = 600,
           layout: str = "coco", val_interval: int = 1,
-          lrf: float = 0.01) -> dict:
+          lrf: float = 0.01, pretrained: Optional[str] = None) -> dict:
     """Full RT-DETR training driver (reference: 100 epochs, batch 2 at
     imgsz=1024, train_rtdetr_augmented.py:27-42).
 
@@ -430,6 +430,18 @@ def train(cfg, data_root, out_dir, augment: bool = False,
     tx, sched = make_optimizer(total_steps=epochs * steps_per_epoch,
                                lrf=lrf)
     state = init_state(model, jax.random.key(cfg.train.seed), img_size, tx)
+    if pretrained:
+        # reference starts from rtdetr-l.pt (train_rtdetr_augmented.py:25)
+        from ..models import pretrained as pt
+        tsd = pt.load_checkpoint_state(pretrained, allow_pickle=True)
+        newv, report = pt.import_rtdetr(
+            tsd, {"params": state.params,
+                  "batch_stats": state.batch_stats}, strict_head=False)
+        print(f"pretrained import ({pretrained}): {report}")
+        state = RtdetrTrainState(
+            newv["params"], newv["batch_stats"],
+            jax.tree.map(jnp.copy, newv["params"]),
+            tx.init(newv["params"]), jnp.asarray(0))
     state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
     step_fn = jax.jit(
         make_train_step(model, tx, img_size, cfg.corruption, augment),

@@ -151,6 +151,72 @@ class TestFrcnnImport:
         assert len(report.skipped) == 2        # cls_score + bbox_pred
 
 
+class TestRtdetrImport:
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from robust_object_detection_tpu.models import rtdetr as R
+        from tests._torch_rtdetr import RTDETRModel, randomize
+        tm = randomize(RTDETRModel(nc=6))
+        fm = R.create(6)
+        fv = R.init_variables(fm, jax.random.key(0), 64)
+        state = _torch_state(tm)           # keys already model.{i}.*
+        fv2, report = pretrained.import_rtdetr(state, fv)
+        return tm, fm, fv2, report
+
+    def test_all_tensors_consumed(self, pair):
+        _, _, _, report = pair
+        assert not report.skipped
+
+    @staticmethod
+    def _assert_query_sets_match(f_logits, f_boxes, t_logits, t_boxes,
+                                 atol):
+        """Query-set comparison: the encoder top-k order depends on ties
+        between near-equal scores (f32 noise flips the sort), and the
+        decoder is permutation-equivariant, so outputs match as SETS of
+        (logits, boxes) rows under a per-image bijection."""
+        for b in range(f_logits.shape[0]):
+            fr = np.concatenate([f_logits[b], f_boxes[b]], -1)
+            tr = np.concatenate([t_logits[b], t_boxes[b]], -1)
+            dist = np.abs(fr[:, None] - tr[None]).max(-1)   # (Q, Q)
+            col = dist.argmin(1)
+            assert len(set(col.tolist())) == len(col), "not a bijection"
+            assert dist[np.arange(len(col)), col].max() < atol, (
+                dist[np.arange(len(col)), col].max())
+
+    def test_forward_parity(self, pair):
+        """Eval forward through the ENTIRE model — backbone (incl. 2x2
+        stem), AIFI, CCFF, query selection, 6 deformable decoder layers —
+        must match torch (64px: every anchor valid, so the topk paths
+        agree up to ties)."""
+        tm, fm, fv2, _ = pair
+        rng = np.random.RandomState(11)
+        x = rng.rand(2, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            enc_l, enc_b, dec_l, dec_b = tm(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out = fm.apply(fv2, jnp.asarray(x), train=False)
+        self._assert_query_sets_match(
+            np.asarray(out["enc_logits"]), np.asarray(out["enc_boxes"]),
+            enc_l.numpy(), enc_b.numpy(), atol=2e-3)
+        for li in range(len(dec_l)):
+            self._assert_query_sets_match(
+                np.asarray(out["logits"][li]),
+                np.asarray(out["boxes"][li]),
+                dec_l[li].numpy(), dec_b[li].numpy(), atol=5e-3)
+
+    def test_coco_partial_import(self):
+        from robust_object_detection_tpu.models import rtdetr as R
+        from tests._torch_rtdetr import RTDETRModel, randomize
+        tm80 = randomize(RTDETRModel(nc=80))
+        fm = R.create(6)
+        fv = R.init_variables(fm, jax.random.key(0), 64)
+        fv2, report = pretrained.import_rtdetr(
+            _torch_state(tm80), fv, strict_head=False)
+        # skipped: enc_score, 6 dec_score heads, dn embedding
+        assert len(report.skipped) == 8
+
+
 def test_load_checkpoint_state_plain_and_wrapped(tmp_path):
     w = {"layer.weight": torch.randn(3, 3)}
     p1 = tmp_path / "plain.pth"

@@ -5,18 +5,37 @@ the four frozen val testsets Test_Clean / Test_Noise / Test_Blur / Test_LowRes
 in both YOLO and COCO layouts under ``<root>/{yolo6,coco6}``
 (build_corrupted_testsets.py:8-10,92-105,129-166).
 
-Parity notes:
-  * Noise is drawn from numpy MT19937 seeded with 42 on the host, one
-    ``normal(0, sigma, img.shape)`` per image in sorted filename order —
-    the reference's np.random.seed(SEED) + per-image draw
-    (build_corrupted_testsets.py:13,26-27,41-45). This keeps the frozen
-    testsets' noise stream reproducible outside jax.random.
+Parity notes (stream-faithful to the reference protocol):
+  * ONE numpy MT19937 ``RandomState(42)`` is created per build and threaded
+    through the whole run — the reference's single ``np.random.seed(SEED)``
+    in ``main()`` (build_corrupted_testsets.py:169-173). Only the Noise
+    variant consumes draws, so the continuous stream runs: yolo Test_Noise
+    images, then coco Test_Noise images — exactly the reference order
+    (Clean/Blur/LowRes make no draws). ``build_all`` owns the RandomState;
+    the standalone builders create their own when not handed one.
+  * Each draw is ``normal(0, sigma, img.shape)`` landing on the reference's
+    cv2 BGR pixel layout (build_corrupted_testsets.py:41-45,109): noise
+    channel 0 perturbs Blue. We hold images in RGB, so the drawn block is
+    channel-reversed before the add — float add, clip, uint8 truncation
+    then match the reference bit-for-bit pre-encode (asserted against a
+    transcribed oracle in tests/test_data.py).
   * Blur and LowRes run through the framework's own device ops
-    (ops/corrupt.py, ops/image.py), validated bit-close to OpenCV in
-    tests/test_corrupt.py. LowRes target size is ``int(w*f), int(h*f)``
+    (ops/corrupt.py, ops/image.py), validated bit-close (±1 LSB) to OpenCV
+    in tests/test_corrupt.py. LowRes target size is ``int(w*f), int(h*f)``
     (truncation) like build_corrupted_testsets.py:54-58.
   * Labels / annotations are copied unchanged; per-variant data.yaml points
     val at ``images/val`` (build_corrupted_testsets.py:66-82).
+
+Documented residuals vs reference-built testsets:
+  * Iteration order: the reference iterates ``Path.glob("*.*")`` in
+    filesystem order (nondeterministic across hosts); we canonicalise to
+    sorted filename order. Parity holds when the reference's glob happens
+    to be sorted — on any other host ordering, per-image noise blocks are
+    permuted within the stream.
+  * JPEG bytes: ``.jpg`` sources are re-encoded by Pillow (quality 95)
+    where the reference uses cv2's libjpeg settings — pixel-identical
+    pre-encode, a few LSB of encoder residual on disk. Lossless sources
+    (``.png``/``.bmp``) round-trip exactly.
 """
 
 from __future__ import annotations
@@ -71,9 +90,12 @@ def make_corruptors(cfg: CorruptionConfig, rng: np.random.RandomState,
 
     def noise(img: np.ndarray) -> np.ndarray:
         # host MT19937 draw, float32 add, clip, truncate — matches
-        # np.clip(img+noise,0,255).astype(np.uint8) (build_corrupted_testsets.py:41-45)
-        x = img.astype(np.float32) + rng.normal(
-            0.0, cfg.noise_sigma, img.shape).astype(np.float32)
+        # np.clip(img+noise,0,255).astype(np.uint8) (build_corrupted_testsets.py:41-45).
+        # The reference adds the draw to a cv2 BGR array; img here is RGB,
+        # so reverse the draw's channel axis to land each noise channel on
+        # the same physical colour plane.
+        n = rng.normal(0.0, cfg.noise_sigma, img.shape).astype(np.float32)
+        x = img.astype(np.float32) + n[..., ::-1]
         return np.clip(x, 0, 255).astype(np.uint8)
 
     def blur(img: np.ndarray) -> np.ndarray:
@@ -90,6 +112,16 @@ def make_corruptors(cfg: CorruptionConfig, rng: np.random.RandomState,
             "Test_LowRes": lowres}
 
 
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+def _list_images(img_dir: Path) -> list[Path]:
+    """Sorted image listing (reference: glob("*.*") in fs order —
+    build_corrupted_testsets.py:109,152; sorted() canonicalises)."""
+    return sorted(p for p in img_dir.glob("*.*")
+                  if p.suffix.lower() in _IMAGE_EXTS)
+
+
 def _read_image(path: Path) -> np.ndarray:
     from PIL import Image
     with Image.open(path) as im:
@@ -98,7 +130,10 @@ def _read_image(path: Path) -> np.ndarray:
 
 def _write_image(path: Path, img: np.ndarray, quality: int = 95) -> None:
     from PIL import Image
-    Image.fromarray(img).save(path, quality=quality)
+    if path.suffix.lower() in (".jpg", ".jpeg"):
+        Image.fromarray(img).save(path, quality=quality)
+    else:                                   # lossless formats: exact bytes
+        Image.fromarray(img).save(path)
 
 
 def _variant_data_yaml(variant_dir: Path) -> None:
@@ -114,14 +149,18 @@ def _variant_data_yaml(variant_dir: Path) -> None:
 
 def build_yolo_testsets(yolo_root: str | Path, out_root: str | Path,
                         cfg: CorruptionConfig = CorruptionConfig(),
-                        seed: int = SEED) -> None:
-    """YOLO-layout frozen testsets (build_corrupted_testsets.py:85-126)."""
+                        seed: int = SEED,
+                        rng: np.random.RandomState | None = None) -> None:
+    """YOLO-layout frozen testsets (build_corrupted_testsets.py:85-126).
+
+    ``rng`` is the shared MT19937 stream threaded from build_all; created
+    fresh from ``seed`` when the builder runs standalone."""
     yolo_root, out_root = Path(yolo_root), Path(out_root)
-    src_imgs = sorted((yolo_root / "images" / "val").glob("*.jpg"))
+    src_imgs = _list_images(yolo_root / "images" / "val")
     src_lbl = yolo_root / "labels" / "val"
+    rng = np.random.RandomState(seed) if rng is None else rng
+    fns = make_corruptors(cfg, rng)
     for variant in VARIANTS:
-        rng = np.random.RandomState(seed)
-        fns = make_corruptors(cfg, rng)
         vdir = out_root / "yolo6" / variant
         img_out = vdir / "images" / "val"
         lbl_out = vdir / "labels" / "val"
@@ -137,14 +176,15 @@ def build_yolo_testsets(yolo_root: str | Path, out_root: str | Path,
 
 def build_coco_testsets(coco_root: str | Path, out_root: str | Path,
                         cfg: CorruptionConfig = CorruptionConfig(),
-                        seed: int = SEED) -> None:
+                        seed: int = SEED,
+                        rng: np.random.RandomState | None = None) -> None:
     """COCO-layout frozen testsets (build_corrupted_testsets.py:129-166)."""
     coco_root, out_root = Path(coco_root), Path(out_root)
-    src_imgs = sorted((coco_root / "images" / "val").glob("*.jpg"))
+    src_imgs = _list_images(coco_root / "images" / "val")
     ann = coco_root / "annotations" / "instances_val.json"
+    rng = np.random.RandomState(seed) if rng is None else rng
+    fns = make_corruptors(cfg, rng)
     for variant in VARIANTS:
-        rng = np.random.RandomState(seed)
-        fns = make_corruptors(cfg, rng)
         vdir = out_root / "coco6" / variant
         img_out = vdir / "images" / "val"
         ann_out = vdir / "annotations"
@@ -160,10 +200,14 @@ def build_all(processed_root: str | Path, testset_root: str | Path,
               cfg: CorruptionConfig = CorruptionConfig(),
               seed: int = SEED) -> None:
     processed_root = Path(processed_root)
+    # ONE RandomState threaded yolo -> coco: the reference seeds once in
+    # main() and lets the noise stream run continuously across both
+    # layouts (build_corrupted_testsets.py:169-173)
+    rng = np.random.RandomState(seed)
     build_yolo_testsets(processed_root / "visdrone_yolo6", testset_root, cfg,
-                        seed)
+                        seed, rng=rng)
     build_coco_testsets(processed_root / "visdrone_coco6", testset_root, cfg,
-                        seed)
+                        seed, rng=rng)
 
 
 def testset_manifest(testset_root: str | Path) -> dict:
@@ -176,7 +220,7 @@ def testset_manifest(testset_root: str | Path) -> dict:
             img_dir = root / fmt / variant / "images" / "val"
             if not img_dir.exists():
                 continue
-            files = sorted(img_dir.glob("*.jpg"))
+            files = _list_images(img_dir)
             h = hashlib.sha256()
             for f in files:
                 h.update(f.read_bytes())

@@ -130,7 +130,8 @@ def test_testset_builder(det_split, tmp_path):
 
 def test_noise_matches_reference_mt19937(det_split, tmp_path):
     """Frozen-testset noise must replay numpy MT19937 seed=42 per image in
-    sorted order (build_corrupted_testsets.py:13,26-27,41-45)."""
+    order, with the draw landing on the reference's BGR pixel layout
+    (build_corrupted_testsets.py:13,26-27,41-45,109)."""
     yolo_root = tmp_path / "yolo6"
     convert.convert_det_to_yolo(det_split, yolo_root, "val")
     troot = tmp_path / "testsets"
@@ -139,13 +140,85 @@ def test_noise_matches_reference_mt19937(det_split, tmp_path):
     src = sorted((yolo_root / "images" / "val").glob("*.jpg"))
     rng = np.random.RandomState(42)
     first = np.asarray(Image.open(src[0]).convert("RGB"))
-    expect = np.clip(first.astype(np.float32) +
-                     rng.normal(0, 15.0, first.shape).astype(np.float32),
-                     0, 255).astype(np.uint8)
+    # oracle exactly as the reference: BGR array + noise, clip, uint8
+    bgr = first[..., ::-1].astype(np.float32)
+    expect_bgr = np.clip(
+        bgr + rng.normal(0, 15.0, bgr.shape).astype(np.float32),
+        0, 255).astype(np.uint8)
+    expect = expect_bgr[..., ::-1]
     # The written jpg is lossy; compare against a fresh in-memory corruption
     got = ts.make_corruptors(
         ts.CorruptionConfig(), np.random.RandomState(42))["Test_Noise"](first)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_testset_stream_parity_vs_reference_oracle(tmp_path):
+    """Full-protocol parity against a transcription of the reference
+    builder: ONE np.random.seed(42) stream runs continuously over yolo
+    Test_Noise then coco Test_Noise images (build_corrupted_testsets.py:
+    169-173 — seeds once in main(); only apply_noise consumes draws), each
+    draw applied to the cv2 BGR layout. PNG sources make the file
+    round-trip lossless, so written pixels must match the oracle exactly
+    for Clean/Noise and within ±1 LSB (cv2-vs-XLA) for Blur."""
+    import cv2
+    from PIL import Image
+    rng0 = np.random.RandomState(7)
+    # synthetic mini-set: 3 yolo + 2 coco PNGs of differing sizes
+    roots = {"visdrone_yolo6": 3, "visdrone_coco6": 2}
+    proc = tmp_path / "proc"
+    srcs = {}
+    for sub, n in roots.items():
+        d = proc / sub / "images" / "val"
+        d.mkdir(parents=True)
+        for i in range(n):
+            img = rng0.randint(0, 256, (40 + 8 * i, 48, 3), np.uint8)
+            Image.fromarray(img).save(d / f"im{i}.png")
+        srcs[sub] = sorted(d.glob("*.png"))
+        (proc / sub / ("labels" if "yolo" in sub else "annotations")
+         ).mkdir(exist_ok=True)
+    (proc / "visdrone_yolo6" / "labels" / "val").mkdir(parents=True)
+    (proc / "visdrone_coco6" / "annotations").mkdir(exist_ok=True)
+
+    troot = tmp_path / "testsets"
+    ts.build_all(proc, troot)
+
+    # ---- transcribed reference oracle (cv2 BGR protocol) ----
+    def oracle_noise(img_bgr, rng):
+        noise = rng.normal(0, 15, img_bgr.shape).astype(np.float32)
+        return np.clip(img_bgr.astype(np.float32) + noise,
+                       0, 255).astype(np.uint8)
+
+    def oracle_blur(img_bgr):
+        k = np.zeros((9, 9), np.float32)
+        k[4, :] = 1.0
+        M = cv2.getRotationMatrix2D((4.0, 4.0), 0.0, 1.0)
+        k = cv2.warpAffine(k, M, (9, 9))
+        k = k / (k.sum() + 1e-8)
+        return cv2.filter2D(img_bgr, -1, k)
+
+    rng = np.random.RandomState(42)        # seeded ONCE, like main()
+    for fmt, sub in (("yolo6", "visdrone_yolo6"),
+                     ("coco6", "visdrone_coco6")):
+        expect_noise = {}
+        for p in srcs[sub]:                # continuous stream yolo->coco
+            bgr = np.asarray(Image.open(p))[..., ::-1]
+            expect_noise[p.name] = oracle_noise(bgr, rng)
+        for p in srcs[sub]:
+            got_clean = np.asarray(Image.open(
+                troot / fmt / "Test_Clean" / "images" / "val" / p.name))
+            np.testing.assert_array_equal(
+                got_clean, np.asarray(Image.open(p)))
+            got_noise = np.asarray(Image.open(
+                troot / fmt / "Test_Noise" / "images" / "val" / p.name))
+            np.testing.assert_array_equal(
+                got_noise[..., ::-1], expect_noise[p.name],
+                err_msg=f"{fmt}/{p.name}")
+            got_blur = np.asarray(Image.open(
+                troot / fmt / "Test_Blur" / "images" / "val" / p.name))
+            ref_blur = oracle_blur(
+                np.asarray(Image.open(p))[..., ::-1])[..., ::-1]
+            assert np.abs(got_blur.astype(int) -
+                          ref_blur.astype(int)).max() <= 1
 
 
 def test_pipeline_fixed_shapes(det_split, tmp_path):

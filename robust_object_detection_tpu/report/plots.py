@@ -219,6 +219,72 @@ def three_strategy_suite(results: Dict, restored: Dict,
         ax.grid(axis="y", alpha=0.3)
         paths.append(_save(fig, out_dir, f"three_strategies_{stem}.png"))
 
+    def strat_map50(stem: str, strat: str, v: str) -> float:
+        if strat == "Baseline":
+            return _map50(results, f"{stem}_baseline", v)
+        if strat == "Augmented":
+            return _map50(results, f"{stem}_augmented", v)
+        return restored.get(f"{stem}_baseline", {}).get(v, {}).get(
+            "mAP50", 0.0)
+
+    # strategy-effectiveness bars: per model, (strategy − baseline) per
+    # corruption variant (plot_three_strategies.py:115-158)
+    corr = VARIANTS[1:]
+    x = np.arange(len(corr))
+    width = 0.3
+    fig, axes = plt.subplots(1, max(len(stems), 1),
+                             figsize=(5 * max(len(stems), 1), 5.5),
+                             sharey=True, squeeze=False)
+    for idx, stem in enumerate(stems):
+        ax = axes[0][idx]
+        for j, strat in enumerate(("Augmented", "Restored")):
+            diffs = [strat_map50(stem, strat, v)
+                     - strat_map50(stem, "Baseline", v) for v in corr]
+            bars = ax.bar(x + (j - 0.5) * width, diffs, width * 0.85,
+                          label=strat)
+            for bar, val in zip(bars, diffs):
+                ax.text(bar.get_x() + bar.get_width() / 2,
+                        bar.get_height() + (0.005 if val >= 0 else -0.005),
+                        f"{val:+.3f}", ha="center",
+                        va="bottom" if val >= 0 else "top", fontsize=8)
+        ax.set_title(stem)
+        ax.set_xticks(x)
+        ax.set_xticklabels(VARIANT_LABELS[1:])
+        ax.axhline(0, color="k", lw=0.8)
+        ax.grid(axis="y", alpha=0.3)
+        if idx == 0:
+            ax.set_ylabel("mAP@50 change from Baseline")
+    if stems:
+        axes[0][0].legend(fontsize=8)
+    fig.suptitle("Strategy effectiveness: improvement over Baseline")
+    paths.append(_save(fig, out_dir, "strategy_improvement.png"))
+
+    # 3-strategy radar: one polar panel per model, Baseline/Augmented/
+    # Restored profiles over the 4 test sets (plot_three_strategies.py:
+    # 164-197)
+    angles = np.linspace(0, 2 * np.pi, len(VARIANTS), endpoint=False)
+    angles = np.concatenate([angles, angles[:1]])
+    fig, axes = plt.subplots(1, max(len(stems), 1),
+                             figsize=(5 * max(len(stems), 1), 5.5),
+                             subplot_kw={"projection": "polar"},
+                             squeeze=False)
+    for idx, stem in enumerate(stems):
+        ax = axes[0][idx]
+        for strat in ("Baseline", "Augmented", "Restored"):
+            vals = [strat_map50(stem, strat, v) for v in VARIANTS]
+            vals = vals + vals[:1]
+            ax.plot(angles, vals, lw=2, marker="o", ms=4, label=strat)
+            ax.fill(angles, vals, alpha=0.1)
+        ax.set_xticks(angles[:-1])
+        ax.set_xticklabels(VARIANT_LABELS, fontsize=9)
+        ax.set_ylim(0, 0.75)
+        ax.set_title(stem, pad=18)
+    if stems:
+        axes[0][0].legend(fontsize=8, loc="lower center",
+                          bbox_to_anchor=(0.5, -0.3), ncol=3)
+    fig.suptitle("Robustness profile: 3 strategies (mAP@50)")
+    paths.append(_save(fig, out_dir, "three_strategy_radar.png"))
+
     # best-strategy heatmap: which strategy wins per (model, variant)
     grid = np.zeros((len(stems), len(VARIANTS)))
     annot = []

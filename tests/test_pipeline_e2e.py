@@ -150,6 +150,11 @@ def test_figures_and_demo(pipeline_root, tmp_path):
     figs += plots.three_strategy_suite(results, restored, tmp_path / "figs")
     assert all(p.exists() and p.stat().st_size > 1000 for p in figs)
     assert len(figs) >= 8
+    # the full reference 3-strategy set (plot_three_strategies.py):
+    # per-model bars, improvement-over-baseline, radar, best-strategy map
+    names = {p.name for p in figs}
+    assert {"strategy_improvement.png", "three_strategy_radar.png",
+            "best_strategy_heatmap.png"} <= names
 
     # demo strips with GT-echo predictors
     samples = pipeline.index_coco(
@@ -207,6 +212,9 @@ def test_cli_convert_and_testsets(pipeline_root, tmp_path, capsys):
     cli.main(["plot", "--results", str(_write_results(tmp_path)),
               "--out", str(tmp_path / "figs")])
     assert len(list((tmp_path / "figs").glob("*.png"))) >= 5
+    cli.main(["plot-vid", "--results", str(_write_results(tmp_path)),
+              "--out", str(tmp_path / "vfigs")])
+    assert len(list((tmp_path / "vfigs").glob("vid_*.png"))) >= 5
 
 
 def _write_results(tmp_path):

@@ -340,17 +340,13 @@ class MSDeformAttn(nn.Module):
         ref_wh = ref_boxes[..., None, None, None, 2:]
         loc = ref_xy + offsets / n_p * ref_wh * 0.5     # normalised [0,1]
 
-        out = jnp.zeros((b, q, n_h, dh), jnp.float32)
-        for l, vmap_l in enumerate(value_levels):
-            bb, hl, wl, _ = vmap_l.shape
-            v = value_proj(vmap_l.reshape(bb, hl * wl, c)).reshape(
-                bb, hl, wl, n_h, dh)
-            # sample points for this level: (B, Q, H, P, 2) in pixel coords
-            sx = loc[..., l, :, 0] * wl - 0.5
-            sy = loc[..., l, :, 1] * hl - 0.5
-            sampled = deform.bilinear_sample(v, sx, sy)  # (B, Q, H, P, dh)
-            out = out + (sampled * attn[..., l, :, None]).sum(-2)
-
+        # fused multi-scale core: project each level, concat the flat maps,
+        # and run the one-kernel gather/weight/reduce (ops/deform.py)
+        shapes = tuple((f.shape[1], f.shape[2]) for f in value_levels)
+        values = jnp.concatenate(
+            [value_proj(f.reshape(b, -1, c)) for f in value_levels], 1
+        ).reshape(b, -1, n_h, dh)
+        out = deform.ms_deform_attn(values, shapes, loc, attn)
         out = out.reshape(b, q, c)
         return nn.Dense(c, dtype=self.dtype, name="output_proj")(out)
 

@@ -21,6 +21,30 @@ Reference counterpart: the CUDA ``ms_deform_attn_backward`` kernel family
 that Ultralytics/Deformable-DETR rely on (SURVEY.md §2.2 RT-DETR row).
 Layouts are chosen for TPU tiling: every Pallas block keeps a
 128-multiple minor dimension (dh=32 lives in the sublane dim).
+
+``ms_deform_attn`` below goes further: the WHOLE multi-scale deformable
+attention core (all levels, bilinear taps, attention weighting, per-query
+reduction) is one op with one Pallas forward and one Pallas backward.
+Design (measured on v5e, see STATUS.md round 2):
+
+  * XLA's row gather runs ~275x off speed-of-light for these shapes
+    (19 ms for ~56 MB of useful traffic at b8/1024px) because each tap
+    fetches a 128-byte row. Both directions therefore use one-hot MXU
+    matmuls instead of gather/scatter instructions.
+  * All L levels merge into ONE flat cell-index space, sorted once per
+    (batch, head) with ``lax.sort`` (taps cluster around reference boxes,
+    so sorted 512-tap chunks span few 1024-cell tiles; per-chunk [lo, hi]
+    tile bounds skip the rest).
+  * Everything runs TRANSPOSED — values (dh, HW), outputs (dh, Q) — so
+    matmul outputs fill all 128 lanes (the untransposed (.., dh=32) form
+    wastes 3/4 of the MXU).
+  * The forward fuses gather + tap/attention weighting + scatter-to-query
+    into the same kernel: out^T (dh, Q) += [v^T @ onehot_cells] * c @
+    onehot_queries^T, where c = attn * bilinear weight. The backward
+    mirrors it: dV^T stamps through the transposed one-hots, and a per-tap
+    scalar s_t = <dOut[q_t], v[idx_t]> comes back (unsorted via a second
+    key sort) for the attention/coordinate gradients, which are analytic
+    elementwise expressions in XLA.
 """
 
 from __future__ import annotations
@@ -208,3 +232,327 @@ def _stamp_scatter_pallas(idx, gw, hw: int, tile_c: int, tile_t: int):
         out_shape=jax.ShapeDtypeStruct((b, n_h, dh, hw_pad), jnp.float32),
     )(lo, hi, idx, gw.astype(jnp.float32))
     return out[..., :hw] if hw_pad != hw else out
+
+
+# ── Fused multi-scale deformable attention ───────────────────────────────
+#
+# One op for the whole sampling core (reference: the ms_deform_attn CUDA
+# kernels; Ultralytics runs the pure-torch equivalent inside
+# RTDETRDecoder). See the module docstring for the kernel design.
+
+_INTERPRET = False          # tests flip this to run the kernels on CPU
+
+_TILE_T = 512               # taps per sorted chunk
+_TILE_C = 1024              # cells per value tile
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _merged_geometry(loc, shapes):
+    """loc: (B, Q, n_h, L, P, 2) normalised [0,1] sampling locations.
+    Returns (idx, w, dwx, dwy): (B, Q, n_h, L, P, 4) arrays over the
+    merged flat cell-index space (level offsets applied); dwx/dwy are
+    bilinear-weight derivatives wrt the PIXEL coords of each level."""
+    per_level = []
+    off = 0
+    for l, (h, w) in enumerate(shapes):
+        sx = loc[..., l, :, 0] * w - 0.5         # (B, Q, n_h, P)
+        sy = loc[..., l, :, 1] * h - 0.5
+        idxs, wgts, dxs, dys = _tap_geometry(sx, sy, h, w)
+        per_level.append((jnp.stack(idxs, -1) + off, jnp.stack(wgts, -1),
+                          jnp.stack(dxs, -1), jnp.stack(dys, -1)))
+        off += h * w
+    stack = lambda i: jnp.stack([pl_[i] for pl_ in per_level], -3)
+    return stack(0), stack(1), stack(2), stack(3)   # (B,Q,n_h,L,P,4)
+
+
+def _flatten_bh(x, b, n_h):
+    """(B, Q, n_h, L, P, 4) -> (B*n_h, T) with tap order (q, l, p, tap)."""
+    return x.transpose(0, 2, 1, 3, 4, 5).reshape(b * n_h, -1)
+
+
+def ms_deform_attn(values, shapes, loc, attn):
+    """Multi-scale deformable attention core.
+
+    values: (B, HW_tot, n_h, dh) projected value maps, levels concatenated
+        in ``shapes`` order (row-major per level).
+    shapes: static tuple of (H_l, W_l) per level.
+    loc:    (B, Q, n_h, L, P, 2) sampling locations, normalised [0, 1].
+    attn:   (B, Q, n_h, L, P) attention weights (softmaxed over L*P).
+
+    Returns (B, Q, n_h, dh) float32: sum over levels/points/taps of
+    attention-and-bilinear-weighted values (zero outside each map).
+    """
+    if jax.default_backend() == "tpu" or _INTERPRET:
+        return _ms_deform_attn_tpu(shapes, values, loc, attn)
+    return ms_deform_attn_ref(values, shapes, loc, attn)
+
+
+def ms_deform_attn_ref(values, shapes, loc, attn):
+    """XLA reference path (CPU/GPU + ground truth for kernel tests)."""
+    b, hw_tot, n_h, dh = values.shape
+    idx, w, _, _ = _merged_geometry(loc, shapes)    # (B,Q,n_h,L,P,4)
+    flat = values.reshape(b, hw_tot * n_h, dh)
+    head_ids = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 2)
+    gidx = idx * n_h + head_ids
+    g = jnp.take_along_axis(
+        flat, gidx.reshape(b, -1, 1), axis=1
+    ).reshape(*idx.shape, dh)                       # (B,Q,n_h,L,P,4,dh)
+    c = (w * attn[..., None]).astype(g.dtype)
+    return (g * c[..., None]).sum((-4, -3, -2)).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ms_deform_attn_tpu(shapes, values, loc, attn):
+    out, _ = _tpu_fwd(shapes, values, loc, attn)
+    return out
+
+
+def _sorted_taps(shapes, values, loc, attn, t_pad, hw_pad):
+    """Sort taps by merged cell index per (b*head) row; returns the sorted
+    (idx, c, qof, pos) plus per-chunk tile bounds and v^T."""
+    b, hw_tot, n_h, dh = values.shape
+    q = loc.shape[1]
+    idx, w, _, _ = _merged_geometry(loc, shapes)
+    c = w * attn[..., None]                          # (B,Q,n_h,L,P,4)
+    qof = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+    idx_f = _flatten_bh(idx, b, n_h)
+    c_f = _flatten_bh(c, b, n_h).astype(jnp.float32)
+    qof_f = _flatten_bh(qof, b, n_h)
+    t = idx_f.shape[-1]
+    bh = b * n_h
+    pad = t_pad - t
+    if pad:
+        idx_f = jnp.pad(idx_f, ((0, 0), (0, pad)),
+                        constant_values=hw_pad - 1)
+        c_f = jnp.pad(c_f, ((0, 0), (0, pad)))
+        qof_f = jnp.pad(qof_f, ((0, 0), (0, pad)))
+    pos = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1), (bh, t_pad))
+    taps_per_q = loc.shape[3] * loc.shape[4] * 4
+    sb = (t_pad - 1).bit_length()
+    if (hw_pad << sb) < 2 ** 31:
+        # pack (cell, tap position) into one int31 key: halves the data
+        # the O(n log^2 n) bitonic sort passes move, and pos/qof come back
+        # by bit ops (tap order is (q, l, p, tap) so qof = pos // (L*P*4))
+        key = (idx_f << sb) | pos
+        skey, sc = jax.lax.sort((key, c_f), num_keys=1)
+        spos = skey & ((1 << sb) - 1)
+        sidx = skey >> sb
+        sqof = spos // taps_per_q
+    else:
+        sidx, sc, sqof, spos = jax.lax.sort(
+            (idx_f, c_f, qof_f, pos), num_keys=1)
+    n_k = t_pad // _TILE_T
+    chunks = sidx.reshape(bh, n_k, _TILE_T)
+    lo = (chunks.min(-1) // _TILE_C).astype(jnp.int32)[:, None]
+    hi = (chunks.max(-1) // _TILE_C).astype(jnp.int32)[:, None]
+    vt = values.transpose(0, 2, 3, 1).reshape(bh, dh, hw_tot)
+    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, hw_pad - hw_tot))
+                 ).astype(jnp.bfloat16)
+    return (sidx.reshape(bh, n_k, 1, _TILE_T),
+            sc.reshape(bh, n_k, 1, _TILE_T),
+            sqof.reshape(bh, n_k, 1, _TILE_T), spos, lo, hi, vt)
+
+
+def _tpu_fwd(shapes, values, loc, attn):
+    b, hw_tot, n_h, dh = values.shape
+    q = loc.shape[1]
+    t = q * loc.shape[3] * loc.shape[4] * 4
+    t_pad = _round_up(t, _TILE_T)
+    hw_pad = _round_up(hw_tot, _TILE_C)
+    q_pad = max(_round_up(q, _LANE), _LANE)
+    sidx, sc, sqof, spos, lo, hi, vt = _sorted_taps(
+        shapes, values, loc, attn, t_pad, hw_pad)
+    out_t = _fwd_pallas(sidx, sc, sqof, lo, hi, vt, q_pad)
+    out = out_t.reshape(b, n_h, dh, q_pad)[..., :q].transpose(0, 3, 1, 2)
+    return out, (values, loc, attn, sidx, sc, sqof, spos, lo, hi, vt)
+
+
+@functools.partial(jax.jit, static_argnames=("q_pad",))
+def _fwd_pallas(sidx, sc, sqof, lo, hi, vt, q_pad: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, n_k, _, tile_t = sidx.shape
+    _, dh, hw_pad = vt.shape
+    n_c = hw_pad // _TILE_C
+
+    def kernel(lo_ref, hi_ref, idx_ref, c_ref, qof_ref, v_ref, out_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        ids = idx_ref[0, 0, 0, :]
+        def gather(cc, acc):
+            colsub = cc * _TILE_C + jax.lax.broadcasted_iota(
+                jnp.int32, (_TILE_C, tile_t), 0)
+            oh = (ids.reshape(1, tile_t) == colsub).astype(jnp.bfloat16)
+            vv = v_ref[0, :, pl.ds(cc * _TILE_C, _TILE_C)]
+            return acc + jax.lax.dot_general(
+                vv, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        g = jax.lax.fori_loop(lo_ref[0, 0, k], hi_ref[0, 0, k] + 1, gather,
+                              jnp.zeros((dh, tile_t), jnp.float32))
+        gw = (g * c_ref[0, 0, 0, :].reshape(1, tile_t)).astype(jnp.bfloat16)
+        qcols = jax.lax.broadcasted_iota(jnp.int32, (q_pad, tile_t), 0)
+        ohq = (qof_ref[0, 0, 0, :].reshape(1, tile_t) == qcols
+               ).astype(jnp.bfloat16)
+        out_ref[0] += jax.lax.dot_general(
+            gw, ohq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (dh, q_pad)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_k), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_k), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, hw_pad), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, dh, q_pad), lambda b_, k: (b_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, dh, q_pad), jnp.float32),
+        interpret=_INTERPRET,
+    )(lo, hi, sidx, sc, sqof, vt)
+
+
+def _tpu_bwd(shapes, res, dout):
+    values, loc, attn, sidx, sc, sqof, spos, lo, hi, vt = res
+    b, hw_tot, n_h, dh = values.shape
+    q = loc.shape[1]
+    n_l, n_p = loc.shape[3], loc.shape[4]
+    t = q * n_l * n_p * 4
+    bh, n_k, _, tile_t = sidx.shape
+    t_pad = n_k * tile_t
+    q_pad = max(_round_up(q, _LANE), _LANE)
+
+    dout_t = jnp.pad(dout.astype(jnp.float32),
+                     ((0, 0), (0, q_pad - q), (0, 0), (0, 0))
+                     ).transpose(0, 2, 3, 1).reshape(bh, dh, q_pad)
+    dv_t, s_sorted = _bwd_pallas(sidx, sc, sqof, lo, hi, vt,
+                                 dout_t.astype(jnp.bfloat16))
+
+    # unsort the per-tap scalars: sorting (pos, s) by pos restores the
+    # original tap order (pos was carried through the forward sort)
+    _, s = jax.lax.sort((spos, s_sorted.reshape(bh, t_pad)), num_keys=1)
+    s = s[:, :t].reshape(b, n_h, q, n_l, n_p, 4).transpose(0, 2, 1, 3, 4, 5)
+
+    _, w, dwx, dwy = _merged_geometry(loc, shapes)   # (B,Q,n_h,L,P,4)
+    dattn = (s * w).sum(-1)                          # dL/dattn
+    ds_pix = s * attn[..., None]                     # dL/dw_tap
+    dsx = (ds_pix * dwx).sum(-1)                     # (B,Q,n_h,L,P)
+    dsy = (ds_pix * dwy).sum(-1)
+    scale = jnp.asarray([(w_, h_) for (h_, w_) in shapes],
+                        jnp.float32)                 # (L, 2) pixel scales
+    dloc = jnp.stack([dsx, dsy], -1) * scale[None, None, None, :, None, :]
+
+    dvalues = dv_t.reshape(b, n_h, dh, -1)[..., :hw_tot].transpose(
+        0, 3, 1, 2).astype(values.dtype)
+    return dvalues, dloc.astype(loc.dtype), dattn.astype(attn.dtype)
+
+
+@jax.jit
+def _bwd_pallas(sidx, sc, sqof, lo, hi, vt, dout_t):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, n_k, _, tile_t = sidx.shape
+    _, dh, hw_pad = vt.shape
+    q_pad = dout_t.shape[-1]
+    n_c = hw_pad // _TILE_C
+
+    def kernel(lo_ref, hi_ref, idx_ref, c_ref, qof_ref, v_ref, dout_ref,
+               dv_ref, s_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            dv_ref[...] = jnp.zeros_like(dv_ref)
+
+        ids = idx_ref[0, 0, 0, :]
+        qcols = jax.lax.broadcasted_iota(jnp.int32, (q_pad, tile_t), 0)
+        ohq = (qof_ref[0, 0, 0, :].reshape(1, tile_t) == qcols
+               ).astype(jnp.bfloat16)
+        dout_tap = jax.lax.dot_general(
+            dout_ref[0], ohq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (dh, tile_t)
+
+        def gather(cc, acc):
+            colsub = cc * _TILE_C + jax.lax.broadcasted_iota(
+                jnp.int32, (_TILE_C, tile_t), 0)
+            oh = (ids.reshape(1, tile_t) == colsub).astype(jnp.bfloat16)
+            vv = v_ref[0, :, pl.ds(cc * _TILE_C, _TILE_C)]
+            return acc + jax.lax.dot_general(
+                vv, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        g = jax.lax.fori_loop(lo_ref[0, 0, k], hi_ref[0, 0, k] + 1, gather,
+                              jnp.zeros((dh, tile_t), jnp.float32))
+        s_ref[0, 0, 0, :] = (g * dout_tap).sum(0)        # dL/dc per tap
+
+        gw = (dout_tap * c_ref[0, 0, 0, :].reshape(1, tile_t)
+              ).astype(jnp.bfloat16)
+        def stamp(cc, carry):
+            colsub = cc * _TILE_C + jax.lax.broadcasted_iota(
+                jnp.int32, (_TILE_C, tile_t), 0)
+            oh = (ids.reshape(1, tile_t) == colsub).astype(jnp.bfloat16)
+            cur = dv_ref[0, :, pl.ds(cc * _TILE_C, _TILE_C)]
+            dv_ref[0, :, pl.ds(cc * _TILE_C, _TILE_C)] = (
+                cur + jax.lax.dot_general(
+                    gw, oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            return carry
+        jax.lax.fori_loop(lo_ref[0, 0, k], hi_ref[0, 0, k] + 1, stamp, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_k), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_k), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, hw_pad), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, q_pad), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, dh, hw_pad), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, dh, hw_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_k, 1, tile_t), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(lo, hi, sidx, sc, sqof, vt, dout_t)
+
+
+def _tpu_fwd_rule(shapes, values, loc, attn):
+    return _tpu_fwd(shapes, values, loc, attn)
+
+
+_ms_deform_attn_tpu.defvjp(_tpu_fwd_rule, _tpu_bwd)

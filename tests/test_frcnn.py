@@ -9,6 +9,8 @@ import pytest
 from robust_object_detection_tpu.models import frcnn as F
 from robust_object_detection_tpu.train import frcnn as TF
 
+pytestmark = pytest.mark.slow    # compiles jitted train steps on the CPU mesh
+
 IMG = 128
 SMALL = F.FrcnnConfig(pre_nms_topk=256, num_proposals=64, roi_batch=64,
                       rpn_batch=64)

@@ -18,6 +18,8 @@ from robust_object_detection_tpu.data import (convert, pipeline, restore,
 from robust_object_detection_tpu.data import testsets as ts
 from robust_object_detection_tpu.eval import detector_eval as DE
 
+pytestmark = pytest.mark.slow    # compiles jitted train steps on the CPU mesh
+
 
 @pytest.fixture(scope="module")
 def pipeline_root(tmp_path_factory):

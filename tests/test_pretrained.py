@@ -18,6 +18,8 @@ import jax.numpy as jnp  # noqa: E402
 from robust_object_detection_tpu.models import pretrained  # noqa: E402
 from robust_object_detection_tpu.models import yolov8 as Y  # noqa: E402
 
+pytestmark = pytest.mark.slow    # compiles jitted train steps on the CPU mesh
+
 
 def _torch_state(model):
     return {k: v.detach().numpy()

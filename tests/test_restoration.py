@@ -13,6 +13,8 @@ from robust_object_detection_tpu.core.config import (ExperimentConfig,
                                                      RestorationConfig)
 from robust_object_detection_tpu.models import unet as unet_lib
 
+pytestmark = pytest.mark.slow    # compiles jitted train steps on the CPU mesh
+
 
 @pytest.fixture(scope="module")
 def model_and_vars():

@@ -10,6 +10,9 @@ from robust_object_detection_tpu.core import artifacts
 from robust_object_detection_tpu.core.config import (ExperimentConfig,
                                                      MeshConfig, TrainConfig)
 from robust_object_detection_tpu.data import convert, synthetic
+import pytest
+
+pytestmark = pytest.mark.slow    # compiles jitted train steps on the CPU mesh
 
 
 def test_detector_train_resume(tmp_path):

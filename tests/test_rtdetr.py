@@ -8,6 +8,8 @@ import pytest
 from robust_object_detection_tpu.models import rtdetr as R
 from robust_object_detection_tpu.train import rtdetr as TR
 
+pytestmark = pytest.mark.slow    # compiles jitted train steps on the CPU mesh
+
 IMG = 128
 SMALL = R.RtDetrConfig(queries=60, dec_layers=2)
 

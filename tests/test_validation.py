@@ -16,6 +16,9 @@ from robust_object_detection_tpu.core.config import (ExperimentConfig,
                                                      MeshConfig, TrainConfig)
 from robust_object_detection_tpu.data import convert, synthetic
 from robust_object_detection_tpu.train import validation
+import pytest
+
+pytestmark = pytest.mark.slow    # compiles jitted train steps on the CPU mesh
 
 
 def _coco_root(tmp_path, with_val=True):

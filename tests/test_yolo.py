@@ -9,6 +9,8 @@ from robust_object_detection_tpu.models import yolov8 as Y
 from robust_object_detection_tpu.train import detection as D
 from robust_object_detection_tpu.train import detector as T
 
+pytestmark = pytest.mark.slow    # compiles jitted train steps on the CPU mesh
+
 IMG = 64
 
 

@@ -95,13 +95,18 @@ def random_flip_lr(img: jax.Array, boxes: jax.Array, classes: jax.Array,
 
 def mosaic_batches(samples, batch_size: int, image_size: int,
                    max_boxes: int = 600, seed: int = 0,
-                   num_threads: int = 8):
+                   num_threads: int = 8, affine: bool = True,
+                   degrees: float = 0.0, translate: float = 0.1,
+                   scale: float = 0.5, shear: float = 0.0):
     """Batch iterator where every example is a 4-image mosaic.
 
     One epoch = len(samples) mosaics; the 4 sources of each mosaic are the
     epoch-shuffled stream plus 3 uniformly random picks (Ultralytics'
-    sampling). Yields data.pipeline.Batch with identical shapes to
-    make_batches so train loops can switch per epoch (close_mosaic).
+    sampling), followed by a random affine (random_perspective follows
+    Mosaic inside the Ultralytics dataloader; knob defaults are the
+    reference run's args.yaml:89-93). Yields data.pipeline.Batch with
+    identical shapes to make_batches so train loops can switch per epoch
+    (close_mosaic).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -136,6 +141,11 @@ def mosaic_batches(samples, batch_size: int, image_size: int,
             for j in range(batch_size):
                 images[j], boxes[j], classes[j] = mosaic4(
                     loaded[4 * j:4 * j + 4], image_size, rng, max_boxes)
+                if affine:
+                    images[j], boxes[j], classes[j] = random_affine_host(
+                        images[j], boxes[j], classes[j], rng,
+                        degrees, translate, scale, shear,
+                        max_boxes=max_boxes)
             yield pipe.Batch(images=images, boxes=boxes, classes=classes,
                              image_ids=np.full((batch_size,), -1, np.int64),
                              scales=np.ones((batch_size,), np.float32),
@@ -187,3 +197,114 @@ def mosaic4(loaded: Sequence[tuple], size: int, rng: np.random.RandomState,
         out_boxes[:m] = bb[:m]
         out_classes[:m] = cc[:m]
     return crop, out_boxes, out_classes
+
+
+# ── Host-side: random affine (Ultralytics RandomPerspective, persp=0) ────
+
+def affine_matrix(rng: np.random.RandomState, size: int,
+                  degrees: float = 0.0, translate: float = 0.1,
+                  scale: float = 0.5, shear: float = 0.0) -> np.ndarray:
+    """3x3 output<-input matrix: center -> rotate+scale -> shear ->
+    translate, Ultralytics random_perspective composition with
+    perspective=0 (reference run args: degrees=0 translate=0.1 scale=0.5
+    shear=0, experiments/yolo/baseline_clean/args.yaml:89-93)."""
+    c = np.eye(3)
+    c[0, 2] = -size / 2
+    c[1, 2] = -size / 2
+    r = np.eye(3)
+    a = np.deg2rad(rng.uniform(-degrees, degrees))
+    s = rng.uniform(1 - scale, 1 + scale)
+    r[:2, :2] = s * np.asarray([[np.cos(a), -np.sin(a)],
+                                [np.sin(a), np.cos(a)]])
+    sh = np.eye(3)
+    sh[0, 1] = np.tan(np.deg2rad(rng.uniform(-shear, shear)))
+    sh[1, 0] = np.tan(np.deg2rad(rng.uniform(-shear, shear)))
+    t = np.eye(3)
+    t[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * size
+    t[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * size
+    return t @ sh @ r @ c
+
+
+def random_affine_host(img: np.ndarray, boxes: np.ndarray,
+                       classes: np.ndarray, rng: np.random.RandomState,
+                       degrees: float = 0.0, translate: float = 0.1,
+                       scale: float = 0.5, shear: float = 0.0,
+                       max_boxes: int | None = None,
+                       pad_value: int = 114):
+    """Warp one (img, boxes, classes) sample by a random affine.
+
+    Host-side like the reference (cv2.warpAffine inside the Ultralytics
+    dataloader) — it follows mosaic in the same host stage; the device
+    step stays shape-static. Boxes map through the same matrix via their
+    4 corners + the Ultralytics box_candidates filter (w,h > 2px, aspect
+    < 100, area ratio > 0.1). Returns (img, boxes, classes) with -1 pads.
+    """
+    from PIL import Image
+    size = img.shape[0]
+    m = affine_matrix(rng, size, degrees, translate, scale, shear)
+    inv = np.linalg.inv(m)
+    out = Image.fromarray(img).transform(
+        (size, size), Image.AFFINE,
+        data=tuple(inv[:2].ravel()), resample=Image.BILINEAR,
+        fillcolor=(pad_value,) * 3)
+    out = np.asarray(out)
+
+    max_boxes = len(boxes) if max_boxes is None else max_boxes
+    new_boxes = np.zeros((max_boxes, 4), np.float32)
+    new_classes = np.full((max_boxes,), -1, np.int32)
+    valid = classes >= 0
+    bb = boxes[valid]
+    cc = classes[valid]
+    if len(bb):
+        corners = np.stack([bb[:, [0, 1]], bb[:, [2, 1]],
+                            bb[:, [0, 3]], bb[:, [2, 3]]], 1)   # (N,4,2)
+        ones = np.ones((*corners.shape[:2], 1), np.float32)
+        warped = np.concatenate([corners, ones], -1) @ m.T[:, :2]
+        nb = np.concatenate([warped.min(1), warped.max(1)],
+                            -1).astype(np.float32)
+        w0 = bb[:, 2] - bb[:, 0]
+        h0 = bb[:, 3] - bb[:, 1]
+        nb[:, 0::2] = nb[:, 0::2].clip(0, size)
+        nb[:, 1::2] = nb[:, 1::2].clip(0, size)
+        w1 = nb[:, 2] - nb[:, 0]
+        h1 = nb[:, 3] - nb[:, 1]
+        ar = np.maximum(w1 / (h1 + 1e-16), h1 / (w1 + 1e-16))
+        keep = ((w1 > 2) & (h1 > 2) & (ar < 100) &
+                (w1 * h1 / (w0 * h0 * (1 - 0) + 1e-16) > 0.1))
+        nb, cc = nb[keep], cc[keep]
+        k = min(len(nb), max_boxes)
+        new_boxes[:k] = nb[:k]
+        new_classes[:k] = cc[:k]
+    return out, new_boxes, new_classes
+
+
+# ── Device-side: random erasing ──────────────────────────────────────────
+
+def random_erasing(img: jax.Array, key: jax.Array, p: float = 0.4,
+                   area_range=(0.02, 0.33), ratio_range=(0.3, 3.3),
+                   fill: float = 114.0) -> jax.Array:
+    """torchvision-style RandomErasing on one (H, W, 3) float image.
+
+    Capability parity note: Ultralytics carries erasing=0.4 in args.yaml
+    (baseline_clean/args.yaml:103) but applies it to CLASSIFY training
+    only — detection runs never erase — so the detect trainers here do not
+    enable it either; the op exists for recipe experimentation. Static
+    shapes: the erase rectangle is a coordinate mask, not a dynamic slice.
+    """
+    h, w = img.shape[0], img.shape[1]
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    area = jax.random.uniform(k1, (), minval=area_range[0],
+                              maxval=area_range[1]) * h * w
+    log_r = jax.random.uniform(k2, (), minval=np.log(ratio_range[0]),
+                               maxval=np.log(ratio_range[1]))
+    ratio = jnp.exp(log_r)
+    eh = jnp.clip(jnp.sqrt(area * ratio), 1, h)
+    ew = jnp.clip(jnp.sqrt(area / ratio), 1, w)
+    y0 = jax.random.uniform(k3, ()) * (h - eh)
+    x0 = jax.random.uniform(k4, ()) * (w - ew)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    inside = ((ys >= y0) & (ys < y0 + eh) &
+              (xs >= x0) & (xs < x0 + ew))
+    apply = jax.random.uniform(k5, ()) < p
+    return jnp.where((inside & apply)[..., None], fill, img)

@@ -80,6 +80,68 @@ def _solve_assignment(cost: jax.Array, exact: bool = False):
     return jax.vmap(per_image)(cost)
 
 
+def _auction_assignment(cost: jax.Array, valid: jax.Array,
+                        eps: float = 0.005,
+                        max_rounds: int = 600) -> jax.Array:
+    """Bertsekas forward auction, fully vectorised per round.
+
+    cost: (B, Q, M) assignment cost; valid: (B, M) real-GT mask (padded
+    GTs never bid). Bidders are the GT columns; items are the queries.
+    Each round, every unassigned real GT bids for its best query at the
+    price that beats its second-best alternative by eps; queries accept
+    the highest bid, displacing the previous owner. On termination every
+    pair satisfies eps-complementary slackness, so the matching is within
+    n_real*eps of the Hungarian optimum (Bertsekas 1988).
+
+    Detection costs have strong spatial locality (each GT has a handful of
+    clearly-better queries), so contention is rare and a SINGLE phase at
+    small eps converges in ~5-15 rounds at (300, 120) — measured exactly
+    optimal on detection-shaped costs (test_rtdetr.py) — where each round
+    is one (B, M, Q) vector sweep instead of Hungarian's sequential row
+    augmentations (~170 ms/call on v5e). No eps-scaling: with more queries
+    than GTs, carrying prices across phases leaves phantom prices on
+    unassigned queries and breaks the optimality bound (observed +60%).
+
+    Returns gt_for_query (B, Q) int32, -1 where unmatched.
+    """
+    b, qn, m = cost.shape
+    value = -cost.transpose(0, 2, 1)                 # (B, M, Q) maximize
+    neg = jnp.float32(-1e18)
+    qids = jnp.arange(qn, dtype=jnp.int32)
+    mids = jnp.arange(m, dtype=jnp.int32)
+
+    def assigned_mask(owner):
+        return jnp.any(owner[:, :, None] == mids, axis=1)
+
+    def cond(s):
+        r, price, owner = s
+        return (r < max_rounds) & jnp.any(valid & ~assigned_mask(owner))
+
+    def body(s):
+        r, price, owner = s
+        bidding = valid & ~assigned_mask(owner)      # (B, M)
+        net = value - price[:, None, :]              # (B, M, Q)
+        j1 = net.argmax(-1)                          # (B, M)
+        net2 = jnp.where(qids[None, None, :] == j1[..., None], neg, net)
+        w2 = net2.max(-1)
+        v1 = jnp.take_along_axis(value, j1[..., None], -1)[..., 0]
+        bid_price = v1 - w2 + eps                    # new price if it wins
+        bidmat = jnp.where(
+            (j1[..., None] == qids[None, None, :]) & bidding[..., None],
+            bid_price[..., None], neg)               # (B, M, Q)
+        best = bidmat.max(1)                         # (B, Q)
+        winner = bidmat.argmax(1).astype(jnp.int32)
+        won = best > neg / 2
+        price = jnp.where(won, best, price)
+        owner = jnp.where(won, winner, owner)
+        return r + 1, price, owner
+
+    price0 = jnp.zeros((b, qn), jnp.float32)
+    owner0 = jnp.full((b, qn), -1, jnp.int32)
+    _, _, owner = jax.lax.while_loop(cond, body, (0, price0, owner0))
+    return owner
+
+
 def to_norm_cxcywh(boxes_xyxy: jax.Array, img_size: float) -> jax.Array:
     b = boxes_xyxy / img_size
     return jnp.stack([(b[..., 0] + b[..., 2]) / 2,
@@ -94,15 +156,20 @@ def _cxcywh_to_xyxy(b: jax.Array) -> jax.Array:
                      -1)
 
 
+ASSIGNMENT = "auction"    # "auction" (eps-optimal, default) | "greedy" |
+#                           "hungarian" (optax exact, slow on TPU)
+
+
 def hungarian_match(logits: jax.Array, boxes: jax.Array,
                     gt_boxes: jax.Array, gt_classes: jax.Array,
-                    max_match: int = 300
+                    max_match: int = 300, method: Optional[str] = None
                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-image optimal assignment.
 
     logits: (B, Q, nc); boxes: (B, Q, 4) norm cxcywh; gt_boxes: (B, M, 4)
     norm cxcywh; gt_classes: (B, M) with -1 pads. GTs beyond `max_match`
-    slots are ignored (front-packed by the pipeline).
+    slots are ignored (front-packed by the pipeline). method defaults to
+    the module-level ASSIGNMENT ("auction").
 
     Returns (gt_for_query (B, Q) int32 [-1 = unmatched], iou_q (B, Q),
     match_cost diagnostics).
@@ -129,17 +196,23 @@ def hungarian_match(logits: jax.Array, boxes: jax.Array,
     cost = W_CLASS * cls_sel + W_L1 * l1 + W_GIOU * (-giou)
     cost = jnp.where(valid[:, None, :], cost, BIG)
 
-    rows, cols = _solve_assignment(cost)      # rows (B, K), cols (B, K)
-    # Assignments to PADDED gts (or unfilled greedy slots, col == m) write
-    # to an overflow slot (index q) so they can never clobber a real
-    # query's assignment.
-    in_range = cols < m
-    cols = jnp.minimum(cols, m - 1)
-    matched_valid = jnp.take_along_axis(valid, cols, 1) & in_range  # (B, K)
-    slot = jnp.where(matched_valid, rows, q)
-    gt_for_query = jnp.full((b, q + 1), -1, jnp.int32).at[
-        jnp.arange(b)[:, None], slot].set(
-        jnp.where(matched_valid, cols, -1).astype(jnp.int32))[:, :q]
+    method = ASSIGNMENT if method is None else method
+    if method == "auction":
+        gt_for_query = _auction_assignment(cost, valid)
+    else:
+        rows, cols = _solve_assignment(cost,
+                                       exact=(method == "hungarian"))
+        # Assignments to PADDED gts (or unfilled greedy slots, col == m)
+        # write to an overflow slot (index q) so they can never clobber a
+        # real query's assignment.
+        in_range = cols < m
+        cols = jnp.minimum(cols, m - 1)
+        matched_valid = (jnp.take_along_axis(valid, cols, 1)
+                         & in_range)                            # (B, K)
+        slot = jnp.where(matched_valid, rows, q)
+        gt_for_query = jnp.full((b, q + 1), -1, jnp.int32).at[
+            jnp.arange(b)[:, None], slot].set(
+            jnp.where(matched_valid, cols, -1).astype(jnp.int32))[:, :q]
     iou = jax.vmap(box_ops.pairwise_iou)(qx, gx)               # (B, Q, M)
     iou_q = jnp.take_along_axis(
         iou, jnp.maximum(gt_for_query, 0)[..., None], 2)[..., 0]

@@ -81,3 +81,66 @@ def test_mosaic_batches_shapes():
         assert b.boxes.shape == (2, 32, 4)
         v = b.classes >= 0
         assert (b.boxes[v] >= 0).all() and (b.boxes[v] <= 64).all()
+
+
+def test_affine_identity_when_zero():
+    """degrees=translate=scale=shear=0 -> identity warp: image and boxes
+    unchanged (up to resampling exactness for an integer-identity
+    matrix)."""
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    boxes = np.zeros((8, 4), np.float32)
+    classes = np.full((8,), -1, np.int32)
+    boxes[0] = [10, 12, 40, 50]
+    classes[0] = 2
+    out, nb, nc = A.random_affine_host(img, boxes, classes, rng,
+                                       degrees=0.0, translate=0.0,
+                                       scale=0.0, shear=0.0)
+    np.testing.assert_array_equal(out, img)
+    np.testing.assert_allclose(nb[0], boxes[0], atol=1e-4)
+    assert nc[0] == 2
+
+
+def test_affine_distribution():
+    """Reference knobs (translate=0.1, scale=0.5): box centres shift and
+    scales spread per the sampled matrix; boxes stay inside the canvas and
+    degenerate candidates are dropped (Ultralytics box_candidates)."""
+    rng = np.random.RandomState(1)
+    size = 96
+    img = np.full((size, size, 3), 200, np.uint8)
+    boxes = np.zeros((4, 4), np.float32)
+    classes = np.full((4,), -1, np.int32)
+    boxes[0] = [30, 30, 60, 60]
+    classes[0] = 1
+    widths, centres = [], []
+    for _ in range(200):
+        _, nb, nc = A.random_affine_host(img, boxes, classes, rng,
+                                         degrees=0.0, translate=0.1,
+                                         scale=0.5, shear=0.0)
+        if nc[0] >= 0:
+            assert (nb[0] >= 0).all() and (nb[0] <= size).all()
+            widths.append(nb[0][2] - nb[0][0])
+            centres.append((nb[0][0] + nb[0][2]) / 2)
+    w = np.asarray(widths)
+    c = np.asarray(centres)
+    assert len(w) > 150                       # survival rate is high
+    # scale in [0.5, 1.5] -> widths spread across [15, 45]
+    assert w.min() < 22 and w.max() > 38
+    # translate 0.1 -> centre jitter approx +-9.6px around 48 + scale shift
+    assert c.std() > 3.0
+
+
+def test_random_erasing_stats():
+    rng = np.random.default_rng(3)
+    img = jnp.zeros((64, 64, 3), jnp.float32)
+    erased = []
+    for i in range(40):
+        out = A.random_erasing(img, jax.random.key(i), p=1.0)
+        frac = float((np.asarray(out)[..., 0] == 114.0).mean())
+        erased.append(frac)
+    e = np.asarray(erased)
+    # every draw erases between ~2% and ~33% of the area
+    assert (e > 0.005).all() and (e < 0.40).all()
+    # p=0 never erases
+    out = A.random_erasing(img, jax.random.key(0), p=0.0)
+    assert float(np.abs(np.asarray(out)).max()) == 0.0

@@ -90,6 +90,40 @@ def test_greedy_close_to_hungarian():
         assert len(set(np.asarray(gc[0]).tolist())) == m
 
 
+def test_auction_matches_hungarian_cost():
+    """The auction matcher (new training default) must land within 0.5% of
+    the Hungarian optimum on detection-shaped costs AND stay one-to-one,
+    including padded-GT masking."""
+    rng = np.random.RandomState(1)
+    q, m = 60, 30
+    for trial in range(4):
+        qpos = rng.rand(q, 2)
+        n_real = [30, 17, 1, 30][trial]
+        gpos = rng.rand(m, 2)
+        cost = np.abs(qpos[:, None] - gpos[None]).sum(-1) * 5
+        cost += rng.rand(q, m) * 0.3
+        valid = np.zeros(m, bool)
+        valid[:n_real] = True
+        cost_j = jnp.asarray(np.where(valid[None], cost, TR.BIG)[None]
+                             .astype(np.float32))
+        owner = jax.jit(lambda c: TR._auction_assignment(
+            c, jnp.asarray(valid[None])))(cost_j)
+        owner = np.asarray(owner[0])
+        matched = owner[owner >= 0]
+        # one-to-one + only real gts + every real gt matched (n_real <= Q)
+        assert len(set(matched.tolist())) == len(matched)
+        assert (matched < n_real).all()
+        assert len(matched) == n_real
+        a_cost = sum(cost[qi, j] for qi, j in enumerate(owner) if j >= 0)
+        hr, hc = jax.jit(lambda c: TR._solve_assignment(c, exact=True))(
+            cost_j)
+        pairs = [(int(r_), int(c_)) for r_, c_ in
+                 zip(np.asarray(hr[0]), np.asarray(hc[0]))
+                 if c_ < m and valid[c_]]
+        h_cost = sum(cost[r_, c_] for r_, c_ in pairs)
+        assert a_cost <= h_cost * 1.005 + 1e-5, (trial, a_cost, h_cost)
+
+
 def test_varifocal_loss_basics():
     logits = jnp.asarray([[[10.0, -10.0]]])
     # perfect positive prediction with full IoU -> tiny loss

@@ -168,7 +168,29 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
           layout: str = "coco", base_augment: bool = True,
           mosaic: bool = True, close_mosaic: int = 10,
           val_interval: int = 1,
-          pretrained: Optional[str] = None) -> dict:
+          pretrained: Optional[str] = None,
+          dtype: str = "bfloat16") -> dict:
+    """Train a YOLO detector — see _train_impl for the full docstring.
+
+    dtype: computation dtype, "bfloat16" (default; the reference trains
+    under Ultralytics amp=True) or "float32"; params/stats stay f32."""
+    import contextlib
+
+    from ..models.layers import bn_dtype_scope
+    scope = (bn_dtype_scope(jnp.bfloat16) if dtype == "bfloat16"
+             else contextlib.nullcontext())
+    with scope:
+        return _train_impl(
+            cfg, data_root, out_dir, augment, variant, epochs, img_size,
+            batch_size, max_steps, max_boxes, layout, base_augment,
+            mosaic, close_mosaic, val_interval, pretrained,
+            jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+
+
+def _train_impl(cfg: ExperimentConfig, data_root, out_dir, augment,
+                variant, epochs, img_size, batch_size, max_steps,
+                max_boxes, layout, base_augment, mosaic, close_mosaic,
+                val_interval, pretrained, model_dtype) -> dict:
     """Train a YOLO detector on a COCO- or YOLO-layout dataset root.
 
     layout="yolo" covers the VID experiments: VisDrone-VID sequences are
@@ -207,7 +229,7 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
     steps_per_epoch = max(1, len(train_samples) // batch_size)
     total_steps = epochs * steps_per_epoch
 
-    model = yolo_lib.create(6, variant)
+    model = yolo_lib.create(6, variant, dtype=model_dtype)
     tx, sched = make_optimizer(lr0=0.01, warmup_steps=min(
         3 * steps_per_epoch, max(1, total_steps // 10)),
         total_steps=total_steps)

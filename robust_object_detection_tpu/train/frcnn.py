@@ -243,8 +243,13 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
           augment: bool = False, epochs: int = 24, img_size: int = 1024,
           batch_size: int = 2, max_steps: Optional[int] = None,
           max_boxes: int = 600, val_interval: int = 0,
-          pretrained: Optional[str] = None) -> dict:
+          pretrained: Optional[str] = None,
+          dtype: str = "bfloat16") -> dict:
     """Full FRCNN training driver (reference: 24 epochs, batch 2).
+
+    dtype: computation dtype, "bfloat16" (TPU-native default — the
+    reference FRCNN trains full f32, so pass "float32" for strict
+    recipe parity) or "float32"; params/stats stay f32 either way.
 
     val_interval=0 reproduces the reference pattern — a single COCOeval
     after the final epoch selects best.pth (train_frcnn_baseline.py:198-208);
@@ -255,6 +260,21 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
     before training (the reference starts COCO-pretrained,
     train_frcnn_baseline.py:139 weights="DEFAULT"); mismatched-class
     box_predictor layers keep their fresh init."""
+    import contextlib
+
+    from ..models.layers import bn_dtype_scope
+    model_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    scope = (bn_dtype_scope(jnp.bfloat16) if dtype == "bfloat16"
+             else contextlib.nullcontext())
+    with scope:
+        return _train_impl(cfg, data_root, out_dir, augment, epochs,
+                           img_size, batch_size, max_steps, max_boxes,
+                           val_interval, pretrained, model_dtype)
+
+
+def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
+                batch_size, max_steps, max_boxes, val_interval,
+                pretrained, model_dtype) -> dict:
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     mesh = mesh_lib.make_mesh(cfg.mesh)
@@ -262,7 +282,7 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
 
     samples = pipe.index_coco(data_root, "train")
     steps_per_epoch = max(1, len(samples) // batch_size)
-    model = F.FasterRCNN()
+    model = F.FasterRCNN(dtype=model_dtype)
     tx, sched = make_optimizer(steps_per_epoch=steps_per_epoch)
     state = init_state(model, jax.random.key(cfg.train.seed), img_size, tx)
     if pretrained:

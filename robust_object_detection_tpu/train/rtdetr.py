@@ -475,14 +475,33 @@ def train(cfg, data_root, out_dir, augment: bool = False,
           epochs: int = 100, img_size: int = 1024, batch_size: int = 4,
           max_steps: Optional[int] = None, max_boxes: int = 600,
           layout: str = "coco", val_interval: int = 1,
-          lrf: float = 0.01, pretrained: Optional[str] = None) -> dict:
+          lrf: float = 0.01, pretrained: Optional[str] = None,
+          dtype: str = "bfloat16") -> dict:
     """Full RT-DETR training driver (reference: 100 epochs, batch 2 at
     imgsz=1024, train_rtdetr_augmented.py:27-42).
 
     lrf: final-LR fraction — warmup then linear decay lr0 -> lr0*lrf over
     the run, matching the reference's Ultralytics schedule (args.yaml
     lrf=0.01, cos_lr=false). val_interval: every-N-epochs val mAP pass with
-    best-by-mAP50 checkpointing (Ultralytics validates each epoch)."""
+    best-by-mAP50 checkpointing (Ultralytics validates each epoch).
+    dtype: computation dtype — "bfloat16" (default; the reference trains
+    under Ultralytics amp=True) or "float32". Params/stats stay f32."""
+    import contextlib
+
+    from ..models.layers import bn_dtype_scope
+    model_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    scope = (bn_dtype_scope(jnp.bfloat16) if dtype == "bfloat16"
+             else contextlib.nullcontext())
+    with scope:
+        return _train_impl(cfg, data_root, out_dir, augment, epochs,
+                           img_size, batch_size, max_steps, max_boxes,
+                           layout, val_interval, lrf, pretrained,
+                           model_dtype)
+
+
+def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
+                batch_size, max_steps, max_boxes, layout, val_interval,
+                lrf, pretrained, model_dtype) -> dict:
     import time
     from pathlib import Path
 
@@ -499,7 +518,7 @@ def train(cfg, data_root, out_dir, augment: bool = False,
     samples = (pipe.index_coco(data_root, "train") if layout == "coco"
                else pipe.index_yolo(data_root, "train"))
     steps_per_epoch = max(1, len(samples) // batch_size)
-    model = R.create(6)
+    model = R.create(6, dtype=model_dtype)
     tx, sched = make_optimizer(total_steps=epochs * steps_per_epoch,
                                lrf=lrf)
     state = init_state(model, jax.random.key(cfg.train.seed), img_size, tx)

@@ -169,7 +169,7 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
           mosaic: bool = True, close_mosaic: int = 10,
           val_interval: int = 1,
           pretrained: Optional[str] = None,
-          dtype: str = "bfloat16") -> dict:
+          dtype: Optional[str] = None) -> dict:
     """Train a YOLO detector — see _train_impl for the full docstring.
 
     dtype: computation dtype, "bfloat16" (default; the reference trains
@@ -177,6 +177,8 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
     import contextlib
 
     from ..models.layers import bn_dtype_scope
+    if dtype is None:      # bf16 on real TPUs; CPU emulates bf16 slowly
+        dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
     scope = (bn_dtype_scope(jnp.bfloat16) if dtype == "bfloat16"
              else contextlib.nullcontext())
     with scope:

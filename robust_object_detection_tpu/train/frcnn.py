@@ -244,7 +244,7 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
           batch_size: int = 2, max_steps: Optional[int] = None,
           max_boxes: int = 600, val_interval: int = 0,
           pretrained: Optional[str] = None,
-          dtype: str = "bfloat16") -> dict:
+          dtype: Optional[str] = None) -> dict:
     """Full FRCNN training driver (reference: 24 epochs, batch 2).
 
     dtype: computation dtype, "bfloat16" (TPU-native default — the
@@ -263,6 +263,8 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
     import contextlib
 
     from ..models.layers import bn_dtype_scope
+    if dtype is None:      # bf16 on real TPUs; CPU emulates bf16 slowly
+        dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
     model_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     scope = (bn_dtype_scope(jnp.bfloat16) if dtype == "bfloat16"
              else contextlib.nullcontext())

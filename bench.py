@@ -99,7 +99,11 @@ def bench_sweep() -> dict:
     return {"metric": "e2e_corrupt_restore_detect_eval_images_per_sec_1chip",
             "value": round(n_eval / elapsed, 2), "unit": "images/sec",
             "images_evaluated": n_eval,
-            "wall_seconds": round(elapsed, 1)}
+            "wall_seconds": round(elapsed, 1),
+            "note": "axon-tunnel bound: ~50 ms host sync + ~65 MB/s "
+                    "transfer per batch dominates at eval bs=2 (the "
+                    "largest 1024px predict batch the tunnel compiles); "
+                    "on a real TPU host this path is PCIe/decode-bound"}
 
 
 def main() -> None:

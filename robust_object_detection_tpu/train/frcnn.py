@@ -6,6 +6,17 @@ losses from torchvision's RPN + RoI heads). The TPU version keeps the loss
 recipe (BCE objectness + smooth-L1 RPN, CE + smooth-L1 box head with
 balanced sampling) but runs the whole thing as one jitted sharded step with
 on-device corruption for the augmented mode.
+
+DOCUMENTED DEVIATION — input resolution semantics: torchvision's
+GeneralizedRCNNTransform rescales each image so min-side=800 / max-side
+<=1333 (variable output shape, batch padded per-batch). XLA wants static
+shapes, so this framework trains and evaluates FRCNN on a FIXED square
+letterbox (img_size, default 1024): aspect ratio is preserved but the
+scale distribution differs from the published FRCNN runs (images land
+smaller than min-side-800 when their long side exceeds img_size). This is
+a deliberate TPU-first trade; published-mAP parity checks should account
+for it or pass a larger img_size (e.g. 1344 ~ the 1333 cap rounded to the
+FPN stride).
 """
 
 from __future__ import annotations

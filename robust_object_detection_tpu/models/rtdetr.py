@@ -115,8 +115,13 @@ class HGStem(nn.Module):
         a = Conv2x2Pad(self.cm // 2, dtype=self.dtype, name="stem2a")(
             x, train)
         a = Conv2x2Pad(self.cm, dtype=self.dtype, name="stem2b")(a, train)
-        b = nn.max_pool(x, (2, 2), strides=(1, 1),
-                        padding=((0, 1), (0, 1)))
+        # explicit zero-pad + VALID pool instead of an asymmetric-padded
+        # reduce-window: the fused form crashes XLA's space_to_batch
+        # converter in the backward at small spatial sizes ("Source shape
+        # does not match the shape of window-reduced operand"); zero pads
+        # are exact ceil-mode here because x is ReLU'd (non-negative)
+        b = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        b = nn.max_pool(b, (2, 2), strides=(1, 1), padding="VALID")
         x = jnp.concatenate([b, a], -1)            # pool first (cat order)
         x = ConvBnAct(self.cm, 3, 2, act_fn=relu, dtype=self.dtype,
                       name="stem3")(x, train)

@@ -339,7 +339,9 @@ def _sorted_taps(shapes, values, loc, attn, t_pad, hw_pad):
         # the O(n log^2 n) bitonic sort passes move, and pos/qof come back
         # by bit ops (tap order is (q, l, p, tap) so qof = pos // (L*P*4))
         key = (idx_f << sb) | pos
-        skey, sc = jax.lax.sort((key, c_f), num_keys=1)
+        # keys are unique (pos in the low bits) -> stability is free to
+        # drop; the unstable network is ~20% cheaper on TPU
+        skey, sc = jax.lax.sort((key, c_f), num_keys=1, is_stable=False)
         spos = skey & ((1 << sb) - 1)
         sidx = skey >> sb
         sqof = spos // taps_per_q

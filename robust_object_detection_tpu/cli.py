@@ -82,7 +82,8 @@ def cmd_train_detector(args):
                              batch_size=args.batch_size,
                              max_steps=args.max_steps,
                              layout=args.data_layout,
-                             pretrained=args.pretrained)
+                             pretrained=args.pretrained,
+                             dtype=args.dtype)
     elif args.model == "frcnn":
         from .train import frcnn
         out = frcnn.train(cfg, args.data_root, args.out,
@@ -90,7 +91,8 @@ def cmd_train_detector(args):
                           img_size=args.img_size,
                           batch_size=args.batch_size or 2,
                           max_steps=args.max_steps,
-                          pretrained=args.pretrained)
+                          pretrained=args.pretrained,
+                          dtype=args.dtype)
     elif args.model == "rtdetr":
         from .train import rtdetr
         out = rtdetr.train(cfg, args.data_root, args.out,
@@ -99,7 +101,8 @@ def cmd_train_detector(args):
                            batch_size=args.batch_size or 4,
                            max_steps=args.max_steps,
                            layout=args.data_layout,
-                           pretrained=args.pretrained)
+                           pretrained=args.pretrained,
+                           dtype=args.dtype)
     else:
         raise SystemExit(f"unknown model {args.model!r}")
     print(json.dumps(out))
@@ -281,7 +284,11 @@ def main(argv=None):
         (("--pretrained",), {"default": None,
                              "help": "torch checkpoint to import "
                                      "(yolov8m.pt-style, reference "
-                                     "train_yolo_augmented.py:25)"}))
+                                     "train_yolo_augmented.py:25)"}),
+        (("--dtype",), {"default": None,
+                        "choices": ["bfloat16", "float32"],
+                        "help": "compute dtype (default: bfloat16 on "
+                                "TPU, float32 elsewhere)"}))
 
     add("eval", cmd_eval,
         (("--model",), {"action": "append", "required": True,

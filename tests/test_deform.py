@@ -162,3 +162,26 @@ class TestFusedMsDeformAttn:
             off += h * w
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    atol=1e-5)
+
+
+def test_fused_nonsquare_levels_and_eval_q(rng):
+    """Non-square level shapes + a Q below the 128-lane pad (eval path,
+    no CDN) through the interpreted kernels."""
+    shapes = ((6, 10), (3, 5))
+    hw = sum(h * w for h, w in shapes)
+    b, heads, dh, p, q = 1, 2, 8, 2, 3
+    values = jnp.asarray(rng.standard_normal((b, hw, heads, dh)),
+                         jnp.float32)
+    loc = jnp.asarray(rng.uniform(0, 1, (b, q, heads, 2, p, 2)),
+                      jnp.float32)
+    attn = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((b, q, heads, 2 * p)), jnp.float32), -1
+    ).reshape(b, q, heads, 2, p)
+    ref = deform.ms_deform_attn_ref(values, shapes, loc, attn)
+    deform._INTERPRET = True
+    try:
+        out = deform._ms_deform_attn_tpu(shapes, values, loc, attn)
+    finally:
+        deform._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)

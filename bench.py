@@ -166,12 +166,15 @@ def main() -> None:
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
     }
+    # emit the headline immediately: if the driver's budget expires during
+    # the auxiliary sweep below, the last complete line is still valid
+    print(json.dumps(record), flush=True)
     if "--train-only" not in sys.argv:
         try:
             record["sweep"] = bench_sweep()
         except Exception as e:      # sweep is auxiliary; keep the headline
             record["sweep"] = {"error": repr(e)[:200]}
-    print(json.dumps(record))
+        print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

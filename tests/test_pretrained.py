@@ -242,3 +242,38 @@ def test_load_checkpoint_state_module_payload(tmp_path):
         pretrained.load_checkpoint_state(str(p))
     s = pretrained.load_checkpoint_state(str(p), allow_pickle=True)
     assert set(s) == {"weight", "bias"}
+
+
+def test_cli_train_detector_pretrained_e2e(tmp_path, capsys):
+    """Full CLI path: a torch YOLOv8 replica checkpoint saved to disk
+    feeds ``train-detector --pretrained`` (the reference's
+    yolov8m.pt-start, train_yolo_augmented.py:25) for a 2-step run, and
+    the imported backbone weights survive into the saved checkpoint."""
+    from robust_object_detection_tpu import cli
+    from robust_object_detection_tpu.data import convert, synthetic
+    from robust_object_detection_tpu.train import detector
+    from tests._torch_yolo import DetectionModel, randomize
+
+    det = synthetic.make_det_split(tmp_path / "raw", n_images=16,
+                                   size_range=((48, 49), (48, 49)))
+    convert.convert_det_to_coco(det, tmp_path / "coco", "val")
+    convert.convert_det_to_coco(det, tmp_path / "coco", "train")
+
+    tm = randomize(DetectionModel(nc=6, variant="n"))
+    ckpt = tmp_path / "yolov8n.pt"
+    torch.save({"model": tm}, ckpt)
+
+    out = tmp_path / "run"
+    cli.main(["train-detector", "--model", "yolo", "--variant", "n",
+              "--data-root", str(tmp_path / "coco"), "--out", str(out),
+              "--img-size", "64", "--batch-size", "8", "--epochs", "1",
+              "--max-steps", "1", "--pretrained", str(ckpt)])
+    printed = capsys.readouterr().out
+    assert "pretrained import" in printed
+
+    # the saved last-checkpoint still carries the imported stem kernel
+    # (2 SGD steps cannot erase it): compare against the torch weights
+    model, state = detector.load_checkpoint(out, img_size=64, variant="n")
+    tk = tm.state_dict()["model.0.conv.weight"].numpy()  # (O, I, kh, kw)
+    fk = np.asarray(state.params["Backbone_0"]["ConvBnAct_0"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(fk, tk.transpose(2, 3, 1, 0), atol=5e-2)

@@ -190,8 +190,11 @@ def hungarian_match(logits: jax.Array, boxes: jax.Array,
     alpha, gamma = 0.25, 2.0
     neg = (1 - alpha) * prob ** gamma * (-jnp.log1p(-prob + 1e-8))
     pos = alpha * (1 - prob) ** gamma * (-jnp.log(prob + 1e-8))
-    cls_sel = jnp.take_along_axis(
-        pos - neg, jnp.maximum(gtc, 0)[:, None, :], axis=2)    # (B, Q, M)
+    # select each GT's class column as a one-hot matmul — a (B, Q, M)
+    # scalar take_along_axis is a slow TPU gather
+    gt_onehot = jax.nn.one_hot(jnp.maximum(gtc, 0), nc,
+                               dtype=logits.dtype)             # (B, M, nc)
+    cls_sel = jnp.einsum("bqc,bmc->bqm", pos - neg, gt_onehot)
 
     l1 = jnp.abs(boxes[:, :, None, :] - gtb[:, None, :, :]).sum(-1)
     qx = _cxcywh_to_xyxy(boxes)

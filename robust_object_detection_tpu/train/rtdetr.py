@@ -422,11 +422,22 @@ def init_state(model: R.RTDETR, key, img_size: int, tx) -> RtdetrTrainState:
 def make_train_step(model: R.RTDETR, tx, img_size: int,
                     corruption: Optional[CorruptionConfig], augment: bool,
                     ema_decay: float = 0.9999, denoise: bool = True,
-                    dn_groups: int = 2, dn_max_gt: int = 32):
+                    dn_groups: int = 2, dn_max_gt: int = 32,
+                    base_augment: bool = False):
+    """base_augment: the on-device half of the Ultralytics base recipe
+    (HSV jitter + horizontal flip) that BOTH reference RT-DETR modes share
+    (args.yaml hsv_*, fliplr=0.5); mosaic runs host-side in the driver."""
+    from . import augment as aug
+
     def step(state: RtdetrTrainState, images_u8, gt_boxes, gt_classes, key):
         k = jax.random.fold_in(key, state.step)
         k_corr, k_dn = jax.random.split(k)
         x = images_u8.astype(jnp.float32)
+        if base_augment:
+            k_hsv, k_flip, k_corr = jax.random.split(k_corr, 3)
+            x = aug.random_hsv(x, k_hsv)
+            x, gt_boxes = aug.random_flip_lr(x, gt_boxes, gt_classes,
+                                             k_flip)
         if augment:
             x, _ = corrupt_ops.random_corruption_fast(x, k_corr, corruption)
         x = x / 255.0
@@ -484,7 +495,8 @@ def train(cfg, data_root, out_dir, augment: bool = False,
           max_steps: Optional[int] = None, max_boxes: int = 600,
           layout: str = "coco", val_interval: int = 1,
           lrf: float = 0.01, pretrained: Optional[str] = None,
-          dtype: Optional[str] = None) -> dict:
+          dtype: Optional[str] = None, base_augment: bool = True,
+          mosaic: bool = True, close_mosaic: int = 10) -> dict:
     """Full RT-DETR training driver (reference: 100 epochs, batch 2 at
     imgsz=1024, train_rtdetr_augmented.py:27-42).
 
@@ -493,7 +505,11 @@ def train(cfg, data_root, out_dir, augment: bool = False,
     lrf=0.01, cos_lr=false). val_interval: every-N-epochs val mAP pass with
     best-by-mAP50 checkpointing (Ultralytics validates each epoch).
     dtype: computation dtype — "bfloat16" (default; the reference trains
-    under Ultralytics amp=True) or "float32". Params/stats stay f32."""
+    under Ultralytics amp=True) or "float32". Params/stats stay f32.
+    base_augment/mosaic/close_mosaic: the Ultralytics base recipe both
+    reference modes share — host mosaic until the last close_mosaic
+    epochs + on-device HSV/flip (args.yaml mosaic=1.0, close_mosaic=10,
+    hsv_*, fliplr=0.5)."""
     import contextlib
 
     from ..models.layers import bn_dtype_scope
@@ -506,12 +522,14 @@ def train(cfg, data_root, out_dir, augment: bool = False,
         return _train_impl(cfg, data_root, out_dir, augment, epochs,
                            img_size, batch_size, max_steps, max_boxes,
                            layout, val_interval, lrf, pretrained,
-                           model_dtype)
+                           model_dtype, base_augment, mosaic,
+                           close_mosaic)
 
 
 def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
                 batch_size, max_steps, max_boxes, layout, val_interval,
-                lrf, pretrained, model_dtype) -> dict:
+                lrf, pretrained, model_dtype, base_augment=True,
+                mosaic=True, close_mosaic=10) -> dict:
     import time
     from pathlib import Path
 
@@ -546,7 +564,8 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
             tx.init(newv["params"]), jnp.asarray(0))
     state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
     step_fn = jax.jit(
-        make_train_step(model, tx, img_size, cfg.corruption, augment),
+        make_train_step(model, tx, img_size, cfg.corruption, augment,
+                        base_augment=base_augment),
         in_shardings=(ctx.replicated, ctx.data, ctx.data, ctx.data, None),
         out_shardings=(ctx.replicated, ctx.replicated),
         donate_argnums=(0,))
@@ -580,10 +599,19 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         losses = []
-        for batch in pipe.prefetch(pipe.make_batches(
+        # mosaic until the last close_mosaic epochs (args.yaml mosaic=1.0,
+        # close_mosaic=10 — the recipe is shared with the YOLO trainer)
+        if mosaic and epoch <= max(0, epochs - close_mosaic):
+            from . import augment as aug
+            batch_iter = aug.mosaic_batches(
+                samples, batch_size, img_size, max_boxes=max_boxes,
+                seed=cfg.train.seed + epoch)
+        else:
+            batch_iter = pipe.make_batches(
                 samples, batch_size, img_size, max_boxes=max_boxes,
                 shuffle=True, seed=cfg.train.seed + epoch,
-                drop_remainder=True)):
+                drop_remainder=True)
+        for batch in pipe.prefetch(batch_iter):
             args = pipe.device_put_sharded(batch, ctx.data)
             state, m = step_fn(state, args[0], args[1], args[2], key)
             losses.append(m["loss"])

@@ -57,7 +57,8 @@ def bench_sweep() -> dict:
     from robust_object_detection_tpu.train import detector as det
 
     IMG_SIZE = 1024
-    EVAL_BS = 2        # bs>=4 at 1024px crashes the axon AOT helper (r1)
+    EVAL_BS = 8        # the r1 axon AOT-helper crash at bs>=4/1024px is
+    #                    gone as of round 2 (verified up to bs=16)
     N_IMAGES = 24
 
     root = Path(tempfile.mkdtemp(prefix="bench_sweep_"))
@@ -101,9 +102,8 @@ def bench_sweep() -> dict:
             "images_evaluated": n_eval,
             "wall_seconds": round(elapsed, 1),
             "note": "axon-tunnel bound: ~50 ms host sync + ~65 MB/s "
-                    "transfer per batch dominates at eval bs=2 (the "
-                    "largest 1024px predict batch the tunnel compiles); "
-                    "on a real TPU host this path is PCIe/decode-bound"}
+                    "transfer per batch dominates the eval passes; on a "
+                    "real TPU host this path is PCIe/decode-bound"}
 
 
 def main() -> None:

@@ -117,8 +117,8 @@ def main() -> None:
 
     BASELINE_IMG_PER_SEC = 100 * 6471 / 47972.0  # 13.49
     IMG_SIZE = 1024
-    BATCH = 16          # largest that compiles on v5e-1 (bs=32 crashes the
-    #                     axon AOT compile helper as of r1)
+    BATCH = 16          # fastest measured (bs=32 compiles since r2 but
+    #                     runs slower: 82.8 vs 88.9 img/s)
     MAX_BOXES = 600
 
     from robust_object_detection_tpu.models.layers import bn_dtype_scope

@@ -40,6 +40,47 @@ def current_bn_dtype() -> Any:
     return _BN_DTYPE[-1]
 
 
+_SHIFT_DEPTHWISE = False     # measured SLOWER than XLA's grouped conv
+#                              (HGNetv2 backbone fwd+bwd 142 vs 97 ms at
+#                              bs8/1024 bf16) — kept for the record and
+#                              as a fallback should a backend regress
+
+
+class _ShiftDepthwise(nn.Module):
+    """Depthwise k x k conv as k^2 shifted multiply-accumulates.
+
+    Hypothesis was that XLA lowers feature_group_count==channels convs
+    poorly on TPU; MEASURED OTHERWISE (see _SHIFT_DEPTHWISE above), so
+    this path is off by default. The parameter keeps flax nn.Conv's
+    depthwise shape/name ((k, k, 1, C) under "kernel"), so flipping the
+    flag never touches checkpoints or torch importers; padding is the
+    same symmetric torch-style (k//2, k//2)."""
+    features: int
+    kernel: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, s = self.kernel, self.stride
+        p = k // 2
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, 1, self.features))
+        xd = x.astype(self.dtype)
+        wd = w.astype(self.dtype)
+        xp = jnp.pad(xd, ((0, 0), (p, p), (p, p), (0, 0)))
+        h = (x.shape[1] + 2 * p - k) // s + 1
+        wdt = (x.shape[2] + 2 * p - k) // s + 1
+        out = None
+        for dy in range(k):
+            for dx in range(k):
+                sl = xp[:, dy:dy + (h - 1) * s + 1:s,
+                        dx:dx + (wdt - 1) * s + 1:s, :]
+                term = sl * wd[dy, dx, 0]
+                out = term if out is None else out + term
+        return out
+
+
 class ConvBnAct(nn.Module):
     """Conv2d(bias=False) + BatchNorm + activation (YOLO `Conv` uses SiLU;
     HGNetv2 blocks use ReLU via `act_fn`)."""
@@ -54,10 +95,17 @@ class ConvBnAct(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         p = self.kernel // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((p, p), (p, p)), use_bias=False,
-                    feature_group_count=self.groups, dtype=self.dtype)(x)
+        if (_SHIFT_DEPTHWISE and self.groups > 1
+                and self.groups == self.features == x.shape[-1]):
+            # true depthwise: shift-MAC formulation (same param tree)
+            x = _ShiftDepthwise(self.features, self.kernel, self.stride,
+                                self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=((p, p), (p, p)), use_bias=False,
+                        feature_group_count=self.groups,
+                        dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=current_bn_dtype())(x)
         if self.act:

@@ -226,3 +226,26 @@ def test_postprocess_decode():
     np.testing.assert_allclose(np.asarray(xyxy[0, 0]), [40, 20, 60, 30],
                                atol=0.5)
     assert float(scores[0, 0]) > 0.99
+
+
+def test_shift_depthwise_matches_grouped_conv():
+    """The shift-MAC depthwise path (layers._ShiftDepthwise, used for all
+    groups==channels convs) must equal flax's grouped conv bit-close for
+    the kernel/stride combinations HGNetv2 uses."""
+    from flax import linen as nn
+    from robust_object_detection_tpu.models.layers import _ShiftDepthwise
+    rng = np.random.RandomState(0)
+    for k, s, h in ((3, 1, 10), (5, 1, 9), (3, 2, 10), (3, 2, 9),
+                    (5, 2, 12)):
+        c = 8
+        x = jnp.asarray(rng.randn(2, h, h, c), jnp.float32)
+        p = k // 2
+        conv = nn.Conv(c, (k, k), strides=(s, s), padding=((p, p), (p, p)),
+                       use_bias=False, feature_group_count=c)
+        v = conv.init(jax.random.key(0), x)
+        ref = conv.apply(v, x)
+        out = _ShiftDepthwise(c, k, s).apply(
+            {"params": {"kernel": v["params"]["kernel"]}}, x)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)

@@ -83,7 +83,8 @@ def cmd_train_detector(args):
                              max_steps=args.max_steps,
                              layout=args.data_layout,
                              pretrained=args.pretrained,
-                             dtype=args.dtype)
+                             dtype=args.dtype,
+                             allow_pickle=args.allow_pickle)
     elif args.model == "frcnn":
         from .train import frcnn
         out = frcnn.train(cfg, args.data_root, args.out,
@@ -92,7 +93,8 @@ def cmd_train_detector(args):
                           batch_size=args.batch_size or 2,
                           max_steps=args.max_steps,
                           pretrained=args.pretrained,
-                          dtype=args.dtype)
+                          dtype=args.dtype,
+                          allow_pickle=args.allow_pickle)
     elif args.model == "rtdetr":
         from .train import rtdetr
         out = rtdetr.train(cfg, args.data_root, args.out,
@@ -102,7 +104,8 @@ def cmd_train_detector(args):
                            max_steps=args.max_steps,
                            layout=args.data_layout,
                            pretrained=args.pretrained,
-                           dtype=args.dtype)
+                           dtype=args.dtype,
+                           allow_pickle=args.allow_pickle)
     else:
         raise SystemExit(f"unknown model {args.model!r}")
     print(json.dumps(out))
@@ -285,6 +288,12 @@ def main(argv=None):
                              "help": "torch checkpoint to import "
                                      "(yolov8m.pt-style, reference "
                                      "train_yolo_augmented.py:25)"}),
+        (("--allow-pickle",), {"action": "store_true",
+                               "help": "permit unpickling module-bearing "
+                                       ".pt checkpoints (runs arbitrary "
+                                       "code — only for trusted files; "
+                                       "state-dict exports don't need "
+                                       "it)"}),
         (("--dtype",), {"default": None,
                         "choices": ["bfloat16", "float32"],
                         "help": "compute dtype (default: bfloat16 on "

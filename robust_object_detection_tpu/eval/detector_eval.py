@@ -135,8 +135,32 @@ def sweep(models: Dict[str, tuple], testset_root: str | Path,
         [[r["model"], r["testset"], r["mAP50"], r["mAP50_95"],
           r["images_per_sec"]] for r in rows]))
     print()
+    print(per_class_table(results))
+    print()
     print(degradation_table(results))
+    comparison = comparison_table(results)
+    if comparison:
+        # Aug - Base deltas, printed on every sweep like the reference
+        # (eval_all.py:253-256,303-319); empty when no _baseline/_augmented
+        # model-name pairs are present.
+        print()
+        print("Aug - Base mAP50 difference:")
+        print(comparison)
     return results
+
+
+def per_class_table(results: Dict[str, Dict[str, Dict]],
+                    variant: str = "Test_Clean") -> str:
+    """Per-class AP@50 on one testset (eval_all.py:146-156 extracts the
+    per-class precision slice; the reference prints it per run)."""
+    rows = []
+    for name, per_variant in results.items():
+        summary = per_variant.get(variant, {})
+        per_class = summary.get("per_class_ap50", {})
+        rows.append([name] + [round(per_class.get(c, 0.0), 4)
+                              for c in CLASS_NAMES])
+    return (f"per-class AP@50 ({variant}):\n"
+            + artifacts.format_table(["model"] + list(CLASS_NAMES), rows))
 
 
 def degradation_table(results: Dict[str, Dict[str, Dict]]) -> str:
@@ -172,5 +196,7 @@ def comparison_table(results: Dict[str, Dict[str, Dict]],
                  - results[base][variant]["mAP50"])
             row.append(round(d, 4))
         rows.append(row)
+    if not rows:
+        return ""
     return artifacts.format_table(
         ["model", "Clean", "Noise", "Blur", "LowRes"], rows)

@@ -57,6 +57,11 @@ class FrcnnConfig:
     roi_pos_iou: float = 0.5
     roi_batch: int = 512
     roi_pos_frac: float = 0.25
+    # v2 FPN layout (bias-free conv + BN in lateral/post blocks, the
+    # torchvision fasterrcnn_resnet50_fpn_v2 layout). False = the classic
+    # bias-conv FPN — kept for checkpoints saved before the v2 default
+    # flip (round 2); train/frcnn.load_checkpoint auto-detects.
+    fpn_norm: bool = True
 
 
 # ── Anchors ──────────────────────────────────────────────────────────────
@@ -206,7 +211,7 @@ class FasterRCNN(nn.Module):
 
     def setup(self):
         self.backbone = resnet_lib.ResNet((3, 4, 6, 3), self.dtype)
-        self.fpn = fpn_lib.FPN(256, self.dtype)
+        self.fpn = fpn_lib.FPN(256, self.dtype, norm=self.cfg.fpn_norm)
         self.rpn_head = RPNHead(dtype=self.dtype)
         self.box_head = BoxHead(self.cfg.num_classes, dtype=self.dtype)
 

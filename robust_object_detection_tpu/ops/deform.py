@@ -45,6 +45,14 @@ Design (measured on v5e, see STATUS.md round 2):
     scalar s_t = <dOut[q_t], v[idx_t]> comes back (unsorted via a second
     key sort) for the attention/coordinate gradients, which are analytic
     elementwise expressions in XLA.
+
+Precision / parity note: ``ms_deform_attn`` dispatches on
+``jax.default_backend()`` at trace time, and the TPU kernels run the
+one-hot tap matmuls in bfloat16 (f32 accumulation), so TPU numerics
+intentionally diverge from the f32 XLA reference path (grad parity tests
+use atol=5e-2). This mirrors the reference's amp=True training, but means
+eval mAP computed on TPU vs CPU is close, not bit-identical — a backend
+delta in the 3rd decimal of mAP is expected precision skew, not a bug.
 """
 
 from __future__ import annotations

@@ -203,11 +203,13 @@ def mosaic4(loaded: Sequence[tuple], size: int, rng: np.random.RandomState,
 
 def affine_matrix(rng: np.random.RandomState, size: int,
                   degrees: float = 0.0, translate: float = 0.1,
-                  scale: float = 0.5, shear: float = 0.0) -> np.ndarray:
-    """3x3 output<-input matrix: center -> rotate+scale -> shear ->
-    translate, Ultralytics random_perspective composition with
+                  scale: float = 0.5, shear: float = 0.0):
+    """(3x3 output<-input matrix, sampled scale s): center -> rotate+scale
+    -> shear -> translate, Ultralytics random_perspective composition with
     perspective=0 (reference run args: degrees=0 translate=0.1 scale=0.5
-    shear=0, experiments/yolo/baseline_clean/args.yaml:89-93)."""
+    shear=0, experiments/yolo/baseline_clean/args.yaml:89-93). s is
+    returned because box_candidates compares post-warp area against the
+    SCALED original area (box1 = bboxes * s in random_perspective)."""
     c = np.eye(3)
     c[0, 2] = -size / 2
     c[1, 2] = -size / 2
@@ -222,7 +224,7 @@ def affine_matrix(rng: np.random.RandomState, size: int,
     t = np.eye(3)
     t[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * size
     t[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * size
-    return t @ sh @ r @ c
+    return t @ sh @ r @ c, s
 
 
 def random_affine_host(img: np.ndarray, boxes: np.ndarray,
@@ -241,7 +243,7 @@ def random_affine_host(img: np.ndarray, boxes: np.ndarray,
     """
     from PIL import Image
     size = img.shape[0]
-    m = affine_matrix(rng, size, degrees, translate, scale, shear)
+    m, s = affine_matrix(rng, size, degrees, translate, scale, shear)
     inv = np.linalg.inv(m)
     out = Image.fromarray(img).transform(
         (size, size), Image.AFFINE,
@@ -269,8 +271,11 @@ def random_affine_host(img: np.ndarray, boxes: np.ndarray,
         w1 = nb[:, 2] - nb[:, 0]
         h1 = nb[:, 3] - nb[:, 1]
         ar = np.maximum(w1 / (h1 + 1e-16), h1 / (w1 + 1e-16))
+        # area ratio vs the SCALE-ADJUSTED original area: Ultralytics
+        # random_perspective calls box_candidates(box1=bboxes*s, box2=new),
+        # so the 0.1 threshold applies to w1*h1 / (s^2 * w0*h0)
         keep = ((w1 > 2) & (h1 > 2) & (ar < 100) &
-                (w1 * h1 / (w0 * h0 * (1 - 0) + 1e-16) > 0.1))
+                (w1 * h1 / (w0 * h0 * s * s + 1e-16) > 0.1))
         nb, cc = nb[keep], cc[keep]
         k = min(len(nb), max_boxes)
         new_boxes[:k] = nb[:k]

@@ -169,11 +169,18 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
           mosaic: bool = True, close_mosaic: int = 10,
           val_interval: int = 1,
           pretrained: Optional[str] = None,
-          dtype: Optional[str] = None) -> dict:
+          dtype: Optional[str] = None,
+          allow_pickle: bool = False) -> dict:
     """Train a YOLO detector — see _train_impl for the full docstring.
 
     dtype: computation dtype, "bfloat16" (default; the reference trains
-    under Ultralytics amp=True) or "float32"; params/stats stay f32."""
+    under Ultralytics amp=True) or "float32"; params/stats stay f32.
+
+    allow_pickle: opt-in to unpickling full-module torch checkpoints
+    (Ultralytics ``.pt`` files store nn.Modules — arbitrary code
+    execution on untrusted files; the reference loads its own artifacts
+    with weights_only=True). Default False: plain state-dict/safetensors
+    exports load without it."""
     import contextlib
 
     from ..models.layers import bn_dtype_scope
@@ -186,13 +193,15 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
             cfg, data_root, out_dir, augment, variant, epochs, img_size,
             batch_size, max_steps, max_boxes, layout, base_augment,
             mosaic, close_mosaic, val_interval, pretrained,
-            jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+            jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+            allow_pickle)
 
 
 def _train_impl(cfg: ExperimentConfig, data_root, out_dir, augment,
                 variant, epochs, img_size, batch_size, max_steps,
                 max_boxes, layout, base_augment, mosaic, close_mosaic,
-                val_interval, pretrained, model_dtype) -> dict:
+                val_interval, pretrained, model_dtype,
+                allow_pickle=False) -> dict:
     """Train a YOLO detector on a COCO- or YOLO-layout dataset root.
 
     layout="yolo" covers the VID experiments: VisDrone-VID sequences are
@@ -238,7 +247,7 @@ def _train_impl(cfg: ExperimentConfig, data_root, out_dir, augment,
     state = init_state(model, jax.random.key(tcfg.seed), img_size, tx)
     if pretrained:
         from ..models import pretrained as pt
-        tsd = pt.load_checkpoint_state(pretrained, allow_pickle=True)
+        tsd = pt.load_checkpoint_state(pretrained, allow_pickle=allow_pickle)
         newv, report = pt.import_yolov8(
             tsd, {"params": state.params,
                   "batch_stats": state.batch_stats},

@@ -255,7 +255,8 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
           batch_size: int = 2, max_steps: Optional[int] = None,
           max_boxes: int = 600, val_interval: int = 0,
           pretrained: Optional[str] = None,
-          dtype: Optional[str] = None) -> dict:
+          dtype: Optional[str] = None,
+          allow_pickle: bool = False) -> dict:
     """Full FRCNN training driver (reference: 24 epochs, batch 2).
 
     dtype: computation dtype, "bfloat16" (TPU-native default — the
@@ -270,7 +271,11 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
     pretrained: torchvision fasterrcnn_resnet50_fpn_v2 checkpoint to import
     before training (the reference starts COCO-pretrained,
     train_frcnn_baseline.py:139 weights="DEFAULT"); mismatched-class
-    box_predictor layers keep their fresh init."""
+    box_predictor layers keep their fresh init.
+
+    allow_pickle: opt-in to unpickling module-bearing torch checkpoints
+    (arbitrary code execution on untrusted files — the reference loads
+    with weights_only=True). Plain state-dict exports load without it."""
     import contextlib
 
     from ..models.layers import bn_dtype_scope
@@ -282,12 +287,13 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
     with scope:
         return _train_impl(cfg, data_root, out_dir, augment, epochs,
                            img_size, batch_size, max_steps, max_boxes,
-                           val_interval, pretrained, model_dtype)
+                           val_interval, pretrained, model_dtype,
+                           allow_pickle)
 
 
 def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
                 batch_size, max_steps, max_boxes, val_interval,
-                pretrained, model_dtype) -> dict:
+                pretrained, model_dtype, allow_pickle=False) -> dict:
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     mesh = mesh_lib.make_mesh(cfg.mesh)
@@ -300,7 +306,7 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
     state = init_state(model, jax.random.key(cfg.train.seed), img_size, tx)
     if pretrained:
         from ..models import pretrained as pt
-        tsd = pt.load_checkpoint_state(pretrained, allow_pickle=True)
+        tsd = pt.load_checkpoint_state(pretrained, allow_pickle=allow_pickle)
         newv, report = pt.import_frcnn(
             tsd, {"params": state.params,
                   "batch_stats": state.batch_stats}, strict_head=False)
@@ -381,7 +387,29 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
 
 def load_checkpoint(out_dir: str | Path, img_size: int = 64,
                     cfg: F.FrcnnConfig = F.FrcnnConfig()):
-    """Load a trained FRCNN checkpoint -> (model, FrcnnTrainState)."""
+    """Load a trained FRCNN checkpoint -> (model, FrcnnTrainState).
+
+    Checkpoints saved before the v2 FPN-norm default flip carry the
+    classic bias-conv FPN tree (no ``lateral*_bn`` collections); those
+    restore into an ``fpn_norm=False`` model automatically."""
+    try:
+        return _load_checkpoint_cfg(out_dir, img_size, cfg)
+    except FileNotFoundError:
+        raise
+    except Exception:
+        if not cfg.fpn_norm:
+            raise
+        # legacy (pre-v2-layout) checkpoint: bias-conv FPN, no BN leaves
+        legacy = dataclasses.replace(cfg, fpn_norm=False)
+        model, state = _load_checkpoint_cfg(out_dir, img_size, legacy)
+        print(f"[frcnn.load_checkpoint] {out_dir}: legacy bias-conv FPN "
+              f"layout detected (pre-v2 checkpoint); loaded with "
+              f"fpn_norm=False")
+        return model, state
+
+
+def _load_checkpoint_cfg(out_dir: str | Path, img_size: int,
+                         cfg: F.FrcnnConfig):
     model = F.FasterRCNN(cfg)
     init = jax.jit(lambda k, x: model.init(k, x, train=False))
     variables = init(jax.random.key(0),
@@ -389,18 +417,19 @@ def load_checkpoint(out_dir: str | Path, img_size: int = 64,
     target = {"params": variables["params"],
               "batch_stats": variables["batch_stats"]}
     ckpt = CheckpointManager(out_dir)
-    restored = ckpt.restore_best(target)
-    if restored is None:
-        # `last` carries the full resume payload
-        tx, _ = make_optimizer()
-        full = dict(target, opt_state=tx.init(variables["params"]),
-                    step=jnp.asarray(0))
-        latest = ckpt.restore_last(full)
-        if latest is None:
-            ckpt.close()
-            raise FileNotFoundError(f"no checkpoint under {out_dir}")
-        restored = latest["state"]
-    ckpt.close()
+    try:
+        restored = ckpt.restore_best(target)
+        if restored is None:
+            # `last` carries the full resume payload
+            tx, _ = make_optimizer()
+            full = dict(target, opt_state=tx.init(variables["params"]),
+                        step=jnp.asarray(0))
+            latest = ckpt.restore_last(full)
+            if latest is None:
+                raise FileNotFoundError(f"no checkpoint under {out_dir}")
+            restored = latest["state"]
+    finally:
+        ckpt.close()
     return model, FrcnnTrainState(restored["params"],
                                   restored["batch_stats"], None,
                                   jnp.asarray(0))

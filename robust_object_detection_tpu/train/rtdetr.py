@@ -496,7 +496,8 @@ def train(cfg, data_root, out_dir, augment: bool = False,
           layout: str = "coco", val_interval: int = 1,
           lrf: float = 0.01, pretrained: Optional[str] = None,
           dtype: Optional[str] = None, base_augment: bool = True,
-          mosaic: bool = True, close_mosaic: int = 10) -> dict:
+          mosaic: bool = True, close_mosaic: int = 10,
+          allow_pickle: bool = False) -> dict:
     """Full RT-DETR training driver (reference: 100 epochs, batch 2 at
     imgsz=1024, train_rtdetr_augmented.py:27-42).
 
@@ -509,7 +510,11 @@ def train(cfg, data_root, out_dir, augment: bool = False,
     base_augment/mosaic/close_mosaic: the Ultralytics base recipe both
     reference modes share — host mosaic until the last close_mosaic
     epochs + on-device HSV/flip (args.yaml mosaic=1.0, close_mosaic=10,
-    hsv_*, fliplr=0.5)."""
+    hsv_*, fliplr=0.5).
+
+    allow_pickle: opt-in to unpickling module-bearing torch checkpoints
+    (rtdetr-l.pt stores nn.Modules — arbitrary code execution on
+    untrusted files). Plain state-dict exports load without it."""
     import contextlib
 
     from ..models.layers import bn_dtype_scope
@@ -523,13 +528,13 @@ def train(cfg, data_root, out_dir, augment: bool = False,
                            img_size, batch_size, max_steps, max_boxes,
                            layout, val_interval, lrf, pretrained,
                            model_dtype, base_augment, mosaic,
-                           close_mosaic)
+                           close_mosaic, allow_pickle)
 
 
 def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
                 batch_size, max_steps, max_boxes, layout, val_interval,
                 lrf, pretrained, model_dtype, base_augment=True,
-                mosaic=True, close_mosaic=10) -> dict:
+                mosaic=True, close_mosaic=10, allow_pickle=False) -> dict:
     import time
     from pathlib import Path
 
@@ -553,7 +558,7 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
     if pretrained:
         # reference starts from rtdetr-l.pt (train_rtdetr_augmented.py:25)
         from ..models import pretrained as pt
-        tsd = pt.load_checkpoint_state(pretrained, allow_pickle=True)
+        tsd = pt.load_checkpoint_state(pretrained, allow_pickle=allow_pickle)
         newv, report = pt.import_rtdetr(
             tsd, {"params": state.params,
                   "batch_stats": state.batch_stats}, strict_head=False)

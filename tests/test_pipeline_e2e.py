@@ -131,6 +131,27 @@ def test_restore_and_sweep(pipeline_root, tmp_path):
     print(DE.degradation_table(results["eval_results"]))
 
 
+def test_sweep_prints_all_tables(pipeline_root, tmp_path, capsys):
+    """sweep() prints the summary, per-class AP@50, degradation AND the
+    Aug-Base comparison tables — the reference prints all of them on every
+    run (eval_all.py:253-256,262-319)."""
+    def zero_predict(_, images):
+        b = images.shape[0]
+        return (np.zeros((b, 8, 4), np.float32),
+                np.zeros((b, 8), np.float32),
+                np.zeros((b, 8), np.int32), np.zeros((b, 8), bool))
+
+    models = {"yolov8m_baseline": (zero_predict, None),
+              "yolov8m_augmented": (zero_predict, None)}
+    DE.sweep(models, pipeline_root / "testsets", 64, 2, tmp_path / "out")
+    out = capsys.readouterr().out
+    assert "per-class AP@50" in out
+    assert "drop%" in out                      # degradation table
+    assert "Aug - Base mAP50 difference:" in out
+    for cname in ("pedestrian", "car", "motor"):
+        assert cname in out
+
+
 def test_figures_and_demo(pipeline_root, tmp_path):
     from robust_object_detection_tpu.report import demo, plots
 

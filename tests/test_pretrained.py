@@ -263,11 +263,21 @@ def test_cli_train_detector_pretrained_e2e(tmp_path, capsys):
     ckpt = tmp_path / "yolov8n.pt"
     torch.save({"model": tm}, ckpt)
 
+    # module-bearing .pt files need the explicit --allow-pickle opt-in
+    # (default-off: unpickling runs arbitrary code)
+    with pytest.raises(ValueError, match="allow_pickle"):
+        cli.main(["train-detector", "--model", "yolo", "--variant", "n",
+                  "--data-root", str(tmp_path / "coco"),
+                  "--out", str(tmp_path / "run_nopickle"),
+                  "--img-size", "64", "--batch-size", "8", "--epochs", "1",
+                  "--max-steps", "1", "--pretrained", str(ckpt)])
+
     out = tmp_path / "run"
     cli.main(["train-detector", "--model", "yolo", "--variant", "n",
               "--data-root", str(tmp_path / "coco"), "--out", str(out),
               "--img-size", "64", "--batch-size", "8", "--epochs", "1",
-              "--max-steps", "1", "--pretrained", str(ckpt)])
+              "--max-steps", "1", "--pretrained", str(ckpt),
+              "--allow-pickle"])
     printed = capsys.readouterr().out
     assert "pretrained import" in printed
 
@@ -276,4 +286,38 @@ def test_cli_train_detector_pretrained_e2e(tmp_path, capsys):
     model, state = detector.load_checkpoint(out, img_size=64, variant="n")
     tk = tm.state_dict()["model.0.conv.weight"].numpy()  # (O, I, kh, kw)
     fk = np.asarray(state.params["Backbone_0"]["ConvBnAct_0"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(fk, tk.transpose(2, 3, 1, 0), atol=5e-2)
+
+
+def test_cli_train_vid_pretrained_e2e(tmp_path, capsys):
+    """VID leg with a pretrained start: flattened VID frames
+    (--data-layout yolo) + --pretrained, mirroring the reference's
+    train_vid_yolo_baseline.py:16 which begins from yolov8m.pt."""
+    from robust_object_detection_tpu import cli
+    from robust_object_detection_tpu.data import convert, synthetic
+    from robust_object_detection_tpu.train import detector
+    from tests._torch_yolo import DetectionModel, randomize
+
+    vid = synthetic.make_vid_split(tmp_path / "vid", n_seqs=2,
+                                   frames_per_seq=6, hw=(48, 48))
+    convert.convert_vid_to_yolo(vid, tmp_path / "vid_yolo6", "train")
+
+    tm = randomize(DetectionModel(nc=6, variant="n"))
+    ckpt = tmp_path / "yolov8n.pt"
+    torch.save({"model": tm}, ckpt)
+
+    out = tmp_path / "run"
+    cli.main(["train-detector", "--model", "yolo", "--variant", "n",
+              "--data-root", str(tmp_path / "vid_yolo6"),
+              "--data-layout", "yolo", "--out", str(out),
+              "--img-size", "64", "--batch-size", "8", "--epochs", "1",
+              "--max-steps", "1", "--pretrained", str(ckpt),
+              "--allow-pickle"])
+    printed = capsys.readouterr().out
+    assert "pretrained import" in printed
+
+    model, state = detector.load_checkpoint(out, img_size=64, variant="n")
+    tk = tm.state_dict()["model.0.conv.weight"].numpy()
+    fk = np.asarray(
+        state.params["Backbone_0"]["ConvBnAct_0"]["Conv_0"]["kernel"])
     np.testing.assert_allclose(fk, tk.transpose(2, 3, 1, 0), atol=5e-2)

@@ -103,11 +103,19 @@ def _auction_assignment(cost: jax.Array, valid: jax.Array,
     unassigned queries and breaks the optimality bound (observed +60%).
 
     max_rounds bounds the pathological regime (more real GTs than
-    queries: the auction then displaces forever); hitting the cap leaves
-    the current partial matching. That regime only arises on synthetic
-    stress inputs, not VisDrone (~54 GTs/image vs 300 queries).
+    queries: the auction then displaces forever). When the cap bites —
+    any valid GT still unassigned at termination — the per-image `capped`
+    flag is set; the matching for those images is PARTIAL and mid
+    -displacement (prices escalated), so callers must not use it:
+    hungarian_match replaces capped images' assignments with the greedy
+    matcher run from scratch (maximal + within ~10% of optimal,
+    test_greedy_close_to_hungarian) and surfaces the count as the
+    `matcher_capped` training metric. The regime only arises on dense
+    synthetic stress inputs or >Q-real-GT mosaic crops, not typical
+    VisDrone (~54 GTs/image vs 300 queries).
 
-    Returns gt_for_query (B, Q) int32, -1 where unmatched.
+    Returns (gt_for_query (B, Q) int32, -1 where unmatched;
+             capped (B,) bool, True where the round cap bit).
     """
     b, qn, m = cost.shape
     value = -cost.transpose(0, 2, 1)                 # (B, M, Q) maximize
@@ -144,7 +152,10 @@ def _auction_assignment(cost: jax.Array, valid: jax.Array,
     price0 = jnp.zeros((b, qn), jnp.float32)
     owner0 = jnp.full((b, qn), -1, jnp.int32)
     _, _, owner = jax.lax.while_loop(cond, body, (0, price0, owner0))
-    return owner
+    # cap-hit detection: a valid GT left unassigned means the loop ended
+    # on the round bound, not on convergence — the caller falls back
+    capped = jnp.any(valid & ~assigned_mask(owner), axis=1)       # (B,)
+    return owner, capped
 
 
 def to_norm_cxcywh(boxes_xyxy: jax.Array, img_size: float) -> jax.Array:
@@ -177,7 +188,9 @@ def hungarian_match(logits: jax.Array, boxes: jax.Array,
     the module-level ASSIGNMENT ("auction").
 
     Returns (gt_for_query (B, Q) int32 [-1 = unmatched], iou_q (B, Q),
-    match_cost diagnostics).
+    aux dict: {"cost": (B, Q, M) match cost, "capped": (B,) bool — True
+    where the auction hit its round cap and fell back to greedy
+    completion; always False for the greedy/hungarian methods}).
     """
     b, q, nc = logits.shape
     m = min(max_match, gt_boxes.shape[1])
@@ -205,27 +218,41 @@ def hungarian_match(logits: jax.Array, boxes: jax.Array,
     cost = jnp.where(valid[:, None, :], cost, BIG)
 
     method = ASSIGNMENT if method is None else method
-    if method == "auction":
-        gt_for_query = _auction_assignment(cost, valid)
-    else:
-        rows, cols = _solve_assignment(cost,
-                                       exact=(method == "hungarian"))
+    capped = jnp.zeros((b,), bool)
+
+    def solve_to_gt_for_query(exact):
+        rows, cols = _solve_assignment(cost, exact=exact)
         # Assignments to PADDED gts (or unfilled greedy slots, col == m)
         # write to an overflow slot (index q) so they can never clobber a
         # real query's assignment.
         in_range = cols < m
-        cols = jnp.minimum(cols, m - 1)
-        matched_valid = (jnp.take_along_axis(valid, cols, 1)
+        cols_c = jnp.minimum(cols, m - 1)
+        matched_valid = (jnp.take_along_axis(valid, cols_c, 1)
                          & in_range)                            # (B, K)
         slot = jnp.where(matched_valid, rows, q)
-        gt_for_query = jnp.full((b, q + 1), -1, jnp.int32).at[
+        return jnp.full((b, q + 1), -1, jnp.int32).at[
             jnp.arange(b)[:, None], slot].set(
-            jnp.where(matched_valid, cols, -1).astype(jnp.int32))[:, :q]
+            jnp.where(matched_valid, cols_c, -1).astype(jnp.int32))[:, :q]
+
+    if method == "auction":
+        gt_for_query, capped = _auction_assignment(cost, valid)
+        # Cap-hit fallback (see _auction_assignment): replace capped
+        # images' partial matchings with the greedy solve. lax.cond keeps
+        # the greedy loop off the hot path — it only executes when some
+        # image actually capped.
+        gt_for_query = jax.lax.cond(
+            jnp.any(capped),
+            lambda g: jnp.where(capped[:, None],
+                                solve_to_gt_for_query(False), g),
+            lambda g: g,
+            gt_for_query)
+    else:
+        gt_for_query = solve_to_gt_for_query(method == "hungarian")
     iou = jax.vmap(box_ops.pairwise_iou)(qx, gx)               # (B, Q, M)
     iou_q = jnp.take_along_axis(
         iou, jnp.maximum(gt_for_query, 0)[..., None], 2)[..., 0]
     iou_q = jnp.where(gt_for_query >= 0, iou_q, 0.0)
-    return gt_for_query, iou_q, cost
+    return gt_for_query, iou_q, {"cost": cost, "capped": capped}
 
 
 def varifocal_loss(logits: jax.Array, target_cls: jax.Array,
@@ -242,7 +269,7 @@ def varifocal_loss(logits: jax.Array, target_cls: jax.Array,
 
 
 def _layer_loss(logits, boxes, gt_boxes_n, gt_classes):
-    gt_for_q, iou_q, _ = hungarian_match(
+    gt_for_q, iou_q, aux = hungarian_match(
         jax.lax.stop_gradient(logits), jax.lax.stop_gradient(boxes),
         gt_boxes_n, gt_classes)
     matched = gt_for_q >= 0
@@ -260,7 +287,8 @@ def _layer_loss(logits, boxes, gt_boxes_n, gt_classes):
     giou = box_ops.giou(_cxcywh_to_xyxy(boxes), _cxcywh_to_xyxy(tgt_box))
     giou_l = ((1.0 - giou) * matched).sum() / n_pos
     return W_CLASS * cls_l + W_L1 * l1 + W_GIOU * giou_l, {
-        "cls": cls_l, "l1": l1, "giou": giou_l, "n_pos": n_pos}
+        "cls": cls_l, "l1": l1, "giou": giou_l, "n_pos": n_pos,
+        "capped": aux["capped"].sum()}
 
 
 # ── Contrastive denoising (CDN) ──────────────────────────────────────────
@@ -354,17 +382,23 @@ def rtdetr_loss(outputs: Dict, gt_boxes_xyxy: jax.Array,
     gt_n = to_norm_cxcywh(gt_boxes_xyxy, img_size)
     total = 0.0
     metrics = {}
+    capped = 0.0
     n_layers = outputs["logits"].shape[0]
     for li in range(n_layers):
         l, m = _layer_loss(outputs["logits"][li], outputs["boxes"][li],
                            gt_n, gt_classes)
         total = total + l
+        capped = capped + m["capped"]
         if li == n_layers - 1:
-            metrics = {f"dec_{k}": v for k, v in m.items()}
+            metrics = {f"dec_{k}": v for k, v in m.items()
+                       if k != "capped"}
     enc_l, enc_m = _layer_loss(outputs["enc_logits"], outputs["enc_boxes"],
                                gt_n, gt_classes)
     total = total + enc_l
     metrics["enc_cls"] = enc_m["cls"]
+    # image-matchings where the auction hit its round cap and greedy
+    # -completed (0 in normal training; nonzero = dense-GT regime)
+    metrics["matcher_capped"] = capped + enc_m["capped"]
     return total, metrics
 
 
@@ -514,7 +548,14 @@ def train(cfg, data_root, out_dir, augment: bool = False,
 
     allow_pickle: opt-in to unpickling module-bearing torch checkpoints
     (rtdetr-l.pt stores nn.Modules — arbitrary code execution on
-    untrusted files). Plain state-dict exports load without it."""
+    untrusted files). Plain state-dict exports load without it.
+
+    Matching: the module-level ASSIGNMENT knob selects the set-matching
+    solver — "auction" (default: Bertsekas eps-auction, eps-optimal,
+    greedy-completed + `matcher_capped` history metric when its round
+    cap bites), "greedy" (globally-cheapest-pair), or "hungarian"
+    (optax exact — the reference's Ultralytics solver semantics, ~170 ms
+    per call on v5e, so 7 matchings dominate the step)."""
     import contextlib
 
     from ..models.layers import bn_dtype_scope
@@ -616,16 +657,22 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
                 samples, batch_size, img_size, max_boxes=max_boxes,
                 shuffle=True, seed=cfg.train.seed + epoch,
                 drop_remainder=True)
+        capped = []
         for batch in pipe.prefetch(batch_iter):
             args = pipe.device_put_sharded(batch, ctx.data)
             state, m = step_fn(state, args[0], args[1], args[2], key)
             losses.append(m["loss"])
+            capped.append(m.get("matcher_capped", 0.0))
             steps += 1
             if max_steps and steps >= max_steps:
                 break
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         record = dict(epoch=epoch, train_loss=mean_loss,
                       lr=float(sched(steps)),
+                      # image-matchings/epoch where the auction hit its
+                      # round cap (greedy-completed; see hungarian_match)
+                      matcher_capped=float(jnp.sum(jnp.stack(capped)))
+                      if capped else 0.0,
                       epoch_sec=round(time.time() - t0, 2))
         if validation.should_validate(epoch, epochs, val_interval,
                                       bool(val_samples)):

@@ -94,7 +94,8 @@ def cmd_train_detector(args):
                           max_steps=args.max_steps,
                           pretrained=args.pretrained,
                           dtype=args.dtype,
-                          allow_pickle=args.allow_pickle)
+                          allow_pickle=args.allow_pickle,
+                          trainable_layers=args.trainable_layers)
     elif args.model == "rtdetr":
         from .train import rtdetr
         out = rtdetr.train(cfg, args.data_root, args.out,
@@ -111,7 +112,7 @@ def cmd_train_detector(args):
     print(json.dumps(out))
 
 
-def _load_models(entries, img_size):
+def _load_models(entries, img_size, frcnn_native_res=False):
     """entries: list of 'name=kind:ckpt_dir' -> {name: (predict, state)}."""
     import jax
     models = {}
@@ -123,9 +124,18 @@ def _load_models(entries, img_size):
             model, state = detector.load_checkpoint(ckpt, img_size=img_size)
             predict = jax.jit(detector.make_predict_step(model, img_size))
         elif kind == "frcnn":
+            from .eval import detector_eval
             from .train import frcnn
             model, state = frcnn.load_checkpoint(ckpt, img_size=img_size)
-            predict = jax.jit(frcnn.make_predict_step(model, img_size))
+            if frcnn_native_res:
+                # torchvision GeneralizedRCNNTransform parity: min800 /
+                # max1333 per-image scale via static aspect buckets
+                # (eval_all.py:103 evaluates at native scale, batch 1)
+                predict = detector_eval.BucketedPredict(
+                    lambda b, _m=model: jax.jit(
+                        frcnn.make_predict_step(_m, b)))
+            else:
+                predict = jax.jit(frcnn.make_predict_step(model, img_size))
         elif kind == "rtdetr":
             from .train import rtdetr
             model, state = rtdetr.load_checkpoint(ckpt, img_size=img_size)
@@ -138,7 +148,8 @@ def _load_models(entries, img_size):
 
 def cmd_eval(args):
     from .eval import detector_eval
-    models = _load_models(args.model, args.img_size)
+    models = _load_models(args.model, args.img_size,
+                          getattr(args, "frcnn_native_res", False))
     detector_eval.sweep(models, args.testset_root, args.img_size,
                         args.batch_size, args.out, layout=args.layout,
                         results_name=args.results_name)
@@ -297,11 +308,20 @@ def main(argv=None):
         (("--dtype",), {"default": None,
                         "choices": ["bfloat16", "float32"],
                         "help": "compute dtype (default: bfloat16 on "
-                                "TPU, float32 elsewhere)"}))
+                                "TPU, float32 elsewhere)"}),
+        (("--trainable-layers",), {"type": int, "default": None,
+                                   "help": "FRCNN only: torchvision "
+                                           "trainable_backbone_layers "
+                                           "0..5 (default 3 when "
+                                           "--pretrained, else 5)"}))
 
     add("eval", cmd_eval,
         (("--model",), {"action": "append", "required": True,
                         "help": "name=kind:ckpt_dir (repeatable)"}),
+        (("--frcnn-native-res",), {"action": "store_true",
+                                   "help": "evaluate FRCNN at torchvision "
+                                           "min800/max1333 native scale "
+                                           "via static aspect buckets"}),
         (("--testset-root",), {"required": True}),
         (("--img-size",), {"type": int, "default": 1024}),
         (("--batch-size",), {"type": int, "default": 8}),
@@ -318,6 +338,10 @@ def main(argv=None):
     add("eval-restored", cmd_eval_restored,
         (("--model",), {"action": "append", "required": True,
                         "help": "name=kind:ckpt_dir (repeatable)"}),
+        (("--frcnn-native-res",), {"action": "store_true",
+                                   "help": "evaluate FRCNN at torchvision "
+                                           "min800/max1333 native scale "
+                                           "via static aspect buckets"}),
         (("--testset-root",), {"required": True}),
         (("--img-size",), {"type": int, "default": 1024}),
         (("--batch-size",), {"type": int, "default": 8}),
@@ -327,6 +351,10 @@ def main(argv=None):
 
     add("eval-vid", cmd_eval_vid,
         (("--model",), {"action": "append", "required": True}),
+        (("--frcnn-native-res",), {"action": "store_true",
+                                   "help": "evaluate FRCNN at torchvision "
+                                           "min800/max1333 native scale "
+                                           "via static aspect buckets"}),
         (("--testset-root",), {"required": True}),
         (("--img-size",), {"type": int, "default": 1024}),
         (("--batch-size",), {"type": int, "default": 8}),

@@ -108,11 +108,21 @@ def index_yolo(root: str | Path, split: str = "val") -> List[Sample]:
     return samples
 
 
-def load_letterboxed(sample: Sample, size: int,
-                     pad_value: int = 114) -> tuple[np.ndarray, float]:
+def _hw(size) -> tuple[int, int]:
+    """int (square) or (H, W) canvas spec -> (H, W)."""
+    return (size, size) if isinstance(size, int) else (size[0], size[1])
+
+
+def load_letterboxed(sample: Sample, size,
+                     pad_value: int = 114,
+                     scale: float | None = None) -> tuple[np.ndarray, float]:
     """Decode + letterbox one image on host (cv2 bilinear, top-left anchor).
 
-    Returns (canvas uint8 (size,size,3) RGB, scale).
+    size: int (square) or (H, W) canvas. `scale` overrides the fit-to-canvas
+    scale (the aspect-bucket FRCNN eval resizes by torchvision's
+    min800/max1333 rule, then pads to the bucket canvas); the scaled image
+    is clipped to the canvas if rounding lands 1px over.
+    Returns (canvas uint8 (H,W,3) RGB, scale).
     """
     import cv2
     img = cv2.imread(str(sample.image_path), cv2.IMREAD_COLOR)
@@ -121,28 +131,38 @@ def load_letterboxed(sample: Sample, size: int,
         img = np.asarray(Image.open(sample.image_path).convert("RGB"))
     else:
         img = img[:, :, ::-1]  # BGR -> RGB
+    ch, cw = _hw(size)
     h, w = img.shape[:2]
-    scale = min(size / h, size / w)
-    nh, nw = round(h * scale), round(w * scale)
+    if scale is None:
+        scale = min(ch / h, cw / w)
+    nh, nw = min(round(h * scale), ch), min(round(w * scale), cw)
     resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    canvas = np.full((size, size, 3), pad_value, np.uint8)
+    canvas = np.full((ch, cw, 3), pad_value, np.uint8)
     canvas[:nh, :nw] = resized
     return canvas, float(scale)
 
 
-def make_batches(samples: Sequence[Sample], batch_size: int, image_size: int,
+def make_batches(samples: Sequence[Sample], batch_size: int, image_size,
                  max_boxes: int = 600, shuffle: bool = False,
                  seed: int = 0, drop_remainder: bool = False,
-                 num_threads: int = 8) -> Iterator[Batch]:
-    """Yield fixed-shape Batches; decode work fans out over host threads."""
+                 num_threads: int = 8,
+                 scale_fn=None) -> Iterator[Batch]:
+    """Yield fixed-shape Batches; decode work fans out over host threads.
+
+    image_size: int (square) or (H, W) canvas. scale_fn(sample) -> float
+    overrides the fit-to-canvas scale per sample (see load_letterboxed).
+    """
     from concurrent.futures import ThreadPoolExecutor
 
+    canvas_h, canvas_w = _hw(image_size)
     order = np.arange(len(samples))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
 
     def load_one(sample: Sample):
-        canvas, scale = load_letterboxed(sample, image_size)
+        canvas, scale = load_letterboxed(
+            sample, (canvas_h, canvas_w),
+            scale=scale_fn(sample) if scale_fn else None)
         m = min(len(sample.boxes_xyxy), max_boxes)
         boxes = np.zeros((max_boxes, 4), np.float32)
         classes = np.full((max_boxes,), -1, np.int32)
@@ -158,7 +178,7 @@ def make_batches(samples: Sequence[Sample], batch_size: int, image_size: int,
                 return
             loaded = list(pool.map(lambda i: load_one(samples[i]), idxs))
             n = len(loaded)
-            images = np.zeros((batch_size, image_size, image_size, 3),
+            images = np.zeros((batch_size, canvas_h, canvas_w, 3),
                               np.uint8)
             boxes = np.zeros((batch_size, max_boxes, 4), np.float32)
             classes = np.full((batch_size, max_boxes), -1, np.int32)

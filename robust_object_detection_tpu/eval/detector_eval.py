@@ -30,30 +30,82 @@ TESTSET_VARIANTS = ("Test_Clean", "Test_Noise", "Test_Blur", "Test_LowRes")
 def evaluate_on_samples(predict_fn: Callable, state, samples,
                         img_size: int, batch_size: int,
                         ctx: Optional[mesh_lib.MeshContext] = None,
-                        max_boxes: int = 600) -> Dict:
-    """Run a jitted predict fn over samples; returns scorer-ready detections.
+                        max_boxes: int = 600, timer=None) -> Dict:
+    """Run a jitted predict fn over samples; score the detections.
 
     predict_fn(state, images_u8) -> (boxes (B,K,4) canvas-xyxy, scores (B,K),
     classes (B,K), valid (B,K)).
+
+    With `timer` (a core.profiling.StageTimer), each stage is FENCED to the
+    device (a one-element fetch — the only reliable fence through the axon
+    tunnel) so wall-clock attributes truthfully to decode / H2D / device
+    compute / D2H / scoring. Fencing serialises the pipeline, so pass a
+    timer only on decomposition runs, not when measuring throughput.
+    """
+    if isinstance(predict_fn, BucketedPredict):
+        return evaluate_bucketed(
+            predict_fn.factory, state, samples, batch_size, ctx, max_boxes,
+            predict_fn.min_side, predict_fn.max_side,
+            predict_fn.bucket_mult, timer)
+    t0 = time.time()
+    detections, ground_truth, n_images = _collect_detections(
+        predict_fn, state, samples, img_size, batch_size, ctx, max_boxes,
+        timer)
+    elapsed = time.time() - t0
+    return _score(detections, ground_truth, n_images, elapsed, timer)
+
+
+def _collect_detections(predict_fn: Callable, state, samples,
+                        img_size, batch_size: int,
+                        ctx: Optional[mesh_lib.MeshContext],
+                        max_boxes: int, timer=None, scale_fn=None):
+    """The predict half of evaluate_on_samples: (detections, gt, n_images).
+
+    img_size may be an (H, W) canvas and scale_fn a per-sample resize-scale
+    override (the aspect-bucket FRCNN eval path).
     """
     detections: Dict[int, coco_map.Detections] = {}
     ground_truth: Dict[int, coco_map.GroundTruth] = {}
     n_images = 0
-    t0 = time.time()
     # Dispatch the whole testset first, fetch once: a per-batch device_get
     # costs ~50 ms of host sync through the axon tunnel; pipelined dispatch
     # overlaps host decode of batch k+1 with device predict of batch k.
     pending = []
-    for batch in pipe.prefetch(pipe.make_batches(
-            samples, batch_size, img_size, max_boxes=max_boxes)):
-        images = (jax.device_put(batch.images, ctx.data) if ctx
-                  else batch.images)
+    it = iter(pipe.prefetch(pipe.make_batches(
+        samples, batch_size, img_size, max_boxes=max_boxes,
+        scale_fn=scale_fn)))
+    while True:
+        if timer is None:
+            batch = next(it, None)
+        else:
+            with timer.stage("eval/decode_wait"):
+                batch = next(it, None)
+        if batch is None:
+            break
+        if timer is None:
+            images = (jax.device_put(batch.images, ctx.data) if ctx
+                      else batch.images)
+            outputs = predict_fn(state, images)
+        else:
+            with timer.stage("eval/h2d"):
+                images = (jax.device_put(batch.images, ctx.data) if ctx
+                          else jax.device_put(batch.images))
+                jax.device_get(images.ravel()[0])       # fence the transfer
+            with timer.stage("eval/device_compute"):
+                outputs = predict_fn(state, images)
+                jax.device_get(outputs[1][0, 0])        # fence the compute
+            with timer.stage("eval/d2h"):
+                outputs = jax.device_get(outputs)
         # keep only the light metadata — holding every decoded canvas for
         # a full testset would pin ~2 GB of host RAM
         meta = (batch.image_ids, batch.scales, batch.num_valid)
-        pending.append((meta, predict_fn(state, images)))
-    for (image_ids, scales, num_valid), outputs in pending:
-        boxes, scores, classes, valid = jax.device_get(outputs)
+        pending.append((meta, outputs))
+    import contextlib
+    with (timer.stage("eval/postprocess") if timer is not None
+          else contextlib.nullcontext()):
+      for (image_ids, scales, num_valid), outputs in pending:
+        boxes, scores, classes, valid = (
+            outputs if timer is not None else jax.device_get(outputs))
         for i in range(num_valid):
             img_id = int(image_ids[i])
             s = scales[i]
@@ -72,9 +124,18 @@ def evaluate_on_samples(predict_fn: Callable, state, samples,
             ground_truth[img_id] = coco_map.GroundTruth(
                 boxes=gt_xywh, classes=sample.classes.astype(np.int64) + 1)
         n_images += num_valid
-    elapsed = time.time() - t0
-    result = coco_map.evaluate(detections, ground_truth,
-                               categories=list(range(1, 7)))
+    return detections, ground_truth, n_images
+
+
+def _score(detections, ground_truth, n_images: int, elapsed: float,
+           timer=None) -> Dict:
+    if timer is None:
+        result = coco_map.evaluate(detections, ground_truth,
+                                   categories=list(range(1, 7)))
+    else:
+        with timer.stage("eval/score"):
+            result = coco_map.evaluate(detections, ground_truth,
+                                       categories=list(range(1, 7)))
     summary = coco_map.summarize(result)
     summary["per_class_ap50"] = {
         CLASS_NAMES[c - 1]: v for c, v in result.per_class_ap50.items()}
@@ -83,11 +144,89 @@ def evaluate_on_samples(predict_fn: Callable, state, samples,
     return summary
 
 
+class BucketedPredict:
+    """Marker wrapper routing eval through the aspect-bucket path.
+
+    Wraps a `factory((H, W)) -> jitted predict fn`; anywhere a plain
+    predict_fn is accepted (evaluate_on_samples / evaluate_testsets /
+    sweep), passing one of these evaluates at torchvision-native
+    resolution via evaluate_bucketed instead of the square letterbox.
+    The factory is memoised so each bucket compiles once per process.
+    """
+
+    def __init__(self, factory: Callable, min_side: float = 800.0,
+                 max_side: float = 1333.0, bucket_mult: int = 64):
+        import functools
+        self.factory = functools.lru_cache(maxsize=None)(factory)
+        self.min_side = min_side
+        self.max_side = max_side
+        self.bucket_mult = bucket_mult
+
+
+def tv_target(h: int, w: int, min_side: float = 800.0,
+              max_side: float = 1333.0):
+    """torchvision GeneralizedRCNNTransform target: scale so the short side
+    reaches min_side unless the long side would exceed max_side
+    (torchvision detection/transform.py _resize_image_and_masks; the
+    reference builds the model with the defaults,
+    train_frcnn_baseline.py:139-143, and eval_all.py:103 evaluates at this
+    native per-image scale, batch 1). Returns (target_h, target_w, scale).
+    """
+    scale = min(min_side / min(h, w), max_side / max(h, w))
+    return round(h * scale), round(w * scale), scale
+
+
+def evaluate_bucketed(predict_factory: Callable, state, samples,
+                      batch_size: int,
+                      ctx: Optional[mesh_lib.MeshContext] = None,
+                      max_boxes: int = 600, min_side: float = 800.0,
+                      max_side: float = 1333.0, bucket_mult: int = 64,
+                      timer=None) -> Dict:
+    """Aspect-bucket eval at torchvision-native resolution (FRCNN parity).
+
+    Each image is resized by EXACTLY the GeneralizedRCNNTransform scale
+    (min800/max1333, see tv_target) and padded into the smallest
+    bucket_mult-aligned static canvas that fits — so XLA compiles one
+    predict per distinct bucket (VisDrone val has a handful of image
+    sizes -> a handful of buckets) while the model sees every image at the
+    reference's scale. predict_factory((H, W)) -> jitted predict fn for
+    that canvas.
+    """
+    groups: Dict[tuple, list] = {}
+    scales: Dict[int, float] = {}
+    for s in samples:
+        th, tw, sc = tv_target(s.height, s.width, min_side, max_side)
+        bucket = (-(-th // bucket_mult) * bucket_mult,
+                  -(-tw // bucket_mult) * bucket_mult)
+        groups.setdefault(bucket, []).append(s)
+        scales[s.image_id] = sc
+
+    detections: Dict[int, coco_map.Detections] = {}
+    ground_truth: Dict[int, coco_map.GroundTruth] = {}
+    n_images = 0
+    t0 = time.time()
+    for bucket in sorted(groups):
+        group = groups[bucket]
+        predict_fn = predict_factory(bucket)
+        d, g, m = _collect_detections(
+            predict_fn, state, group, bucket, batch_size, ctx, max_boxes,
+            timer, scale_fn=lambda s: scales[s.image_id])
+        detections.update(d)
+        ground_truth.update(g)
+        n_images += m
+    elapsed = time.time() - t0
+    summary = _score(detections, ground_truth, n_images, elapsed, timer)
+    summary["buckets"] = {f"{bh}x{bw}": len(groups[(bh, bw)])
+                          for bh, bw in sorted(groups)}
+    return summary
+
+
 def evaluate_testsets(predict_fn: Callable, state, testset_root: str | Path,
                       img_size: int, batch_size: int,
                       ctx: Optional[mesh_lib.MeshContext] = None,
                       variants: Sequence[str] = TESTSET_VARIANTS,
-                      layout: str = "coco6") -> Dict[str, Dict]:
+                      layout: str = "coco6",
+                      timer=None) -> Dict[str, Dict]:
     """One model over the 4 frozen testsets -> {variant: summary}."""
     root = Path(testset_root) / layout
     out = {}
@@ -97,7 +236,8 @@ def evaluate_testsets(predict_fn: Callable, state, testset_root: str | Path,
                    if layout.startswith("coco6")
                    else pipe.index_yolo(vdir, "val"))
         out[variant] = evaluate_on_samples(
-            predict_fn, state, samples, img_size, batch_size, ctx)
+            predict_fn, state, samples, img_size, batch_size, ctx,
+            timer=timer)
     return out
 
 

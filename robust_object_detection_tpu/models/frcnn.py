@@ -62,50 +62,55 @@ class FrcnnConfig:
     # bias-conv FPN — kept for checkpoints saved before the v2 default
     # flip (round 2); train/frcnn.load_checkpoint auto-detects.
     fpn_norm: bool = True
+    # backbone stage depths — (3, 4, 6, 3) is ResNet-50 (the reference's
+    # fasterrcnn_resnet50_fpn_v2); smaller tuples give compile-cheap
+    # variants for tests and the multichip dryrun (same layer types,
+    # sharding layout, and train-step graph shape)
+    blocks: tuple = (3, 4, 6, 3)
+    # torchvision trainable_backbone_layers (5 = train everything;
+    # 3 = torchvision's choice whenever weights are given — the
+    # reference's weights="DEFAULT" build freezes conv1/bn1/layer1)
+    trainable_layers: int = 5
 
 
 # ── Anchors ──────────────────────────────────────────────────────────────
+# Canvas size arguments accept an int (square, the training default) or an
+# (H, W) tuple — the aspect-bucket eval path runs rectangular canvases
+# matching torchvision's GeneralizedRCNNTransform min800/max1333 targets.
 
-def anchor_boxes(img_size: int) -> np.ndarray:
-    """All anchors over P2..P6 for a square canvas: (A, 4) xyxy float32."""
-    out = []
-    for size, stride in zip(ANCHOR_SIZES, RPN_STRIDES):
-        n = img_size // stride
-        cy, cx = (np.mgrid[0:n, 0:n].astype(np.float32) + 0.5) * stride
-        base = []
-        for r in ASPECT_RATIOS:
-            w = size * np.sqrt(1.0 / r)
-            h = size * np.sqrt(r)
-            base.append((w, h))
-        for w, h in base:
-            out.append(np.stack([cx - w / 2, cy - h / 2,
-                                 cx + w / 2, cy + h / 2],
-                                axis=-1).reshape(-1, 4))
-    # level-major, anchor-type-minor per level: reorder to match head output
-    # layout (H, W, A) — rebuild properly below.
+def _hw(size) -> Tuple[int, int]:
+    return (size, size) if isinstance(size, int) else (size[0], size[1])
+
+
+def anchor_boxes(img_size) -> np.ndarray:
+    """All anchors over P2..P6 for one canvas: (A, 4) xyxy float32."""
     return np.concatenate(_anchors_hw_major(img_size))
 
 
-def _anchors_hw_major(img_size: int) -> List[np.ndarray]:
+def _anchors_hw_major(img_size) -> List[np.ndarray]:
     """Per level, anchors laid out (H*W*A, 4) with A fastest — matching a
     (H, W, A*4) head reshape."""
+    ih, iw = _hw(img_size)
     per_level = []
     for size, stride in zip(ANCHOR_SIZES, RPN_STRIDES):
-        n = img_size // stride
-        cy, cx = (np.mgrid[0:n, 0:n].astype(np.float32) + 0.5) * stride
+        # feature grid is ceil(H/stride) (SAME-padded strided convs;
+        # torchvision builds anchors from the actual feature sizes too)
+        nh, nw = -(-ih // stride), -(-iw // stride)
+        cy, cx = (np.mgrid[0:nh, 0:nw].astype(np.float32) + 0.5) * stride
         whs = [(size * np.sqrt(1.0 / r), size * np.sqrt(r))
                for r in ASPECT_RATIOS]
         lvl = np.stack([np.stack([cx - w / 2, cy - h / 2,
                                   cx + w / 2, cy + h / 2], axis=-1)
-                        for w, h in whs], axis=2)       # (n, n, A, 4)
+                        for w, h in whs], axis=2)       # (nh, nw, A, 4)
         per_level.append(lvl.reshape(-1, 4))
     return per_level
 
 
-def level_slices(img_size: int) -> List[Tuple[int, int]]:
+def level_slices(img_size) -> List[Tuple[int, int]]:
+    ih, iw = _hw(img_size)
     out, off = [], 0
     for stride in RPN_STRIDES:
-        n = (img_size // stride) ** 2 * len(ASPECT_RATIOS)
+        n = (-(-ih // stride)) * (-(-iw // stride)) * len(ASPECT_RATIOS)
         out.append((off, off + n))
         off += n
     return out
@@ -210,7 +215,8 @@ class FasterRCNN(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = resnet_lib.ResNet((3, 4, 6, 3), self.dtype)
+        self.backbone = resnet_lib.ResNet(self.cfg.blocks, self.dtype,
+                                          self.cfg.trainable_layers)
         self.fpn = fpn_lib.FPN(256, self.dtype, norm=self.cfg.fpn_norm)
         self.rpn_head = RPNHead(dtype=self.dtype)
         self.box_head = BoxHead(self.cfg.num_classes, dtype=self.dtype)
@@ -246,16 +252,18 @@ class FasterRCNN(nn.Module):
 # ── Proposal generation (static shapes) ──────────────────────────────────
 
 @functools.partial(jax.jit, static_argnames=("img_size", "cfg"))
-def generate_proposals(obj: jax.Array, rpn_deltas: jax.Array, img_size: int,
+def generate_proposals(obj: jax.Array, rpn_deltas: jax.Array, img_size,
                        cfg: FrcnnConfig = FrcnnConfig()
                        ) -> Tuple[jax.Array, jax.Array]:
     """(B, A) objectness + (B, A, 4) deltas -> (B, P, 4) proposals + valid.
 
     Per-level top-k pre-NMS, joint class-agnostic NMS to cfg.num_proposals.
+    img_size: int (square) or (H, W) canvas.
     """
+    ih, iw = _hw(img_size)
     anchors = jnp.asarray(np.concatenate(_anchors_hw_major(img_size)))
     boxes = decode_deltas(rpn_deltas, anchors)
-    boxes = box_ops.clip_to_image(boxes, img_size, img_size)
+    boxes = box_ops.clip_to_image(boxes, ih, iw)
 
     sel_scores, sel_boxes = [], []
     for (lo, hi) in level_slices(img_size):

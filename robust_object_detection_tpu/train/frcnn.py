@@ -7,16 +7,17 @@ recipe (BCE objectness + smooth-L1 RPN, CE + smooth-L1 box head with
 balanced sampling) but runs the whole thing as one jitted sharded step with
 on-device corruption for the augmented mode.
 
-DOCUMENTED DEVIATION — input resolution semantics: torchvision's
-GeneralizedRCNNTransform rescales each image so min-side=800 / max-side
-<=1333 (variable output shape, batch padded per-batch). XLA wants static
-shapes, so this framework trains and evaluates FRCNN on a FIXED square
-letterbox (img_size, default 1024): aspect ratio is preserved but the
-scale distribution differs from the published FRCNN runs (images land
-smaller than min-side-800 when their long side exceeds img_size). This is
-a deliberate TPU-first trade; published-mAP parity checks should account
-for it or pass a larger img_size (e.g. 1344 ~ the 1333 cap rounded to the
-FPN stride).
+Input resolution semantics: torchvision's GeneralizedRCNNTransform
+rescales each image so min-side=800 / max-side<=1333 (variable output
+shape). XLA wants static shapes, so TRAINING uses a fixed square
+letterbox (img_size, default 1024) — a deliberate TPU-first trade —
+while EVAL offers exact transform parity via static aspect buckets:
+eval/detector_eval.evaluate_bucketed resizes every image by the exact
+min800/max1333 scale and pads into a handful of 64-aligned rectangular
+canvases, one XLA compile each (the reference evaluates batch-1 at this
+native scale, eval_all.py:103). The real VisDrone bucket (768x1344)
+compiles and runs on v5e-1 (342 ms/img bs1); enable with
+--frcnn-native-res on the eval CLIs.
 """
 
 from __future__ import annotations
@@ -193,9 +194,14 @@ def make_train_step(model: F.FasterRCNN, tx, img_size: int,
     return step
 
 
-def make_predict_step(model: F.FasterRCNN, img_size: int):
-    """uint8 batch -> per-image fixed-capacity detections."""
+def make_predict_step(model: F.FasterRCNN, img_size):
+    """uint8 batch -> per-image fixed-capacity detections.
+
+    img_size: int (square canvas) or (H, W) — the aspect-bucket eval path
+    (eval/detector_eval.evaluate_bucketed) compiles one predict per
+    rectangular bucket matching torchvision's min800/max1333 targets."""
     cfg = model.cfg
+    ih, iw = F._hw(img_size)
 
     def step(state, images_u8):
         x = images_u8.astype(jnp.float32) / 255.0
@@ -204,7 +210,7 @@ def make_predict_step(model: F.FasterRCNN, img_size: int):
         pyramid, obj, rpn_deltas = model.apply(
             variables, x, train=False, method=model.extract)
         proposals, prop_valid = F.generate_proposals(obj, rpn_deltas,
-                                                     img_size, cfg)
+                                                     (ih, iw), cfg)
         scores, box_deltas = model.apply(variables, pyramid, proposals,
                                          train=False,
                                          method=model.roi_forward)
@@ -212,7 +218,7 @@ def make_predict_step(model: F.FasterRCNN, img_size: int):
         k = cfg.num_classes
         boxes_k = F.decode_deltas(box_deltas, proposals[..., None, :],
                                   HEAD_DELTA_WEIGHTS)       # (B, P, K, 4)
-        boxes_k = F.box_ops.clip_to_image(boxes_k, img_size, img_size)
+        boxes_k = F.box_ops.clip_to_image(boxes_k, ih, iw)
         b, p = probs.shape[:2]
         # drop bg (class 0); flatten (P, K-1) candidates
         fg_probs = probs[..., 1:] * prop_valid[..., None]
@@ -240,12 +246,27 @@ def init_state(model: F.FasterRCNN, key, img_size: int, tx
 
 def make_optimizer(lr: float = 0.005, momentum: float = 0.9,
                    weight_decay: float = 5e-4, step_epochs: int = 8,
-                   steps_per_epoch: int = 1000, gamma: float = 0.1):
-    """SGD + StepLR(8, 0.1) (train_frcnn_baseline.py:149-153)."""
+                   steps_per_epoch: int = 1000, gamma: float = 0.1,
+                   frozen: Optional[set] = None):
+    """SGD + StepLR(8, 0.1) (train_frcnn_baseline.py:149-153).
+
+    frozen: backbone param-collection names excluded from weight decay
+    (their grads are exactly zero via stop_gradient, so masking decay
+    makes the whole update zero — matching the reference's
+    requires_grad-filtered param list, train_frcnn_baseline.py:149)."""
     boundaries = {step_epochs * steps_per_epoch: gamma,
                   2 * step_epochs * steps_per_epoch: gamma}
     sched = optax.piecewise_constant_schedule(lr, boundaries)
-    tx = optax.chain(optax.add_decayed_weights(weight_decay),
+    if frozen:
+        def mask(params):
+            return {
+                k: ({bk: jax.tree.map(lambda _: bk not in frozen, bv)
+                     for bk, bv in v.items()} if k == "backbone"
+                    else jax.tree.map(lambda _: True, v))
+                for k, v in params.items()}
+    else:
+        mask = None
+    tx = optax.chain(optax.add_decayed_weights(weight_decay, mask=mask),
                      optax.sgd(sched, momentum=momentum))
     return tx, sched
 
@@ -256,7 +277,8 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
           max_boxes: int = 600, val_interval: int = 0,
           pretrained: Optional[str] = None,
           dtype: Optional[str] = None,
-          allow_pickle: bool = False) -> dict:
+          allow_pickle: bool = False,
+          trainable_layers: Optional[int] = None) -> dict:
     """Full FRCNN training driver (reference: 24 epochs, batch 2).
 
     dtype: computation dtype, "bfloat16" (TPU-native default — the
@@ -275,7 +297,14 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
 
     allow_pickle: opt-in to unpickling module-bearing torch checkpoints
     (arbitrary code execution on untrusted files — the reference loads
-    with weights_only=True). Plain state-dict exports load without it."""
+    with weights_only=True). Plain state-dict exports load without it.
+
+    trainable_layers: torchvision trainable_backbone_layers (0..5).
+    Default None resolves to 3 when pretrained (torchvision freezes
+    conv1/bn1/layer1 whenever weights are given — the reference's
+    weights="DEFAULT" build) and 5 for scratch runs. Frozen layers'
+    params receive zero updates (stop_gradient + decay mask); their BN
+    running stats still update, matching torch model.train()."""
     import contextlib
 
     from ..models.layers import bn_dtype_scope
@@ -284,16 +313,21 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
     model_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     scope = (bn_dtype_scope(jnp.bfloat16) if dtype == "bfloat16"
              else contextlib.nullcontext())
+    if trainable_layers is None:
+        trainable_layers = 3 if pretrained else 5
     with scope:
         return _train_impl(cfg, data_root, out_dir, augment, epochs,
                            img_size, batch_size, max_steps, max_boxes,
                            val_interval, pretrained, model_dtype,
-                           allow_pickle)
+                           allow_pickle, trainable_layers)
 
 
 def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
                 batch_size, max_steps, max_boxes, val_interval,
-                pretrained, model_dtype, allow_pickle=False) -> dict:
+                pretrained, model_dtype, allow_pickle=False,
+                trainable_layers=5) -> dict:
+    from ..models import resnet as resnet_lib
+
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     mesh = mesh_lib.make_mesh(cfg.mesh)
@@ -301,8 +335,12 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
 
     samples = pipe.index_coco(data_root, "train")
     steps_per_epoch = max(1, len(samples) // batch_size)
-    model = F.FasterRCNN(dtype=model_dtype)
-    tx, sched = make_optimizer(steps_per_epoch=steps_per_epoch)
+    fcfg = F.FrcnnConfig(trainable_layers=trainable_layers)
+    model = F.FasterRCNN(fcfg, dtype=model_dtype)
+    tx, sched = make_optimizer(
+        steps_per_epoch=steps_per_epoch,
+        frozen=resnet_lib.frozen_param_labels(fcfg.blocks,
+                                              trainable_layers))
     state = init_state(model, jax.random.key(cfg.train.seed), img_size, tx)
     if pretrained:
         from ..models import pretrained as pt

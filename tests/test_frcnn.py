@@ -145,3 +145,60 @@ def test_predict_shapes(frcnn_small):
     c = np.asarray(classes)[np.asarray(valid)]
     if c.size:
         assert ((c >= 0) & (c < 6)).all()
+
+
+def test_backbone_freeze_reference_semantics(rng):
+    """trainable_layers=3 (the reference's pretrained default,
+    train_frcnn_baseline.py:139-149): conv1/bn1/layer1 params take exactly
+    zero updates (stop_gradient + masked decay) while their BN running
+    stats still update (torch model.train() semantics)."""
+    import flax.traverse_util as tu
+
+    from robust_object_detection_tpu.models import resnet as resnet_lib
+
+    cfg = F.FrcnnConfig(pre_nms_topk=64, num_proposals=32, roi_batch=32,
+                        rpn_batch=32, blocks=(1, 1, 1, 1),
+                        trainable_layers=3)
+    frozen = resnet_lib.frozen_param_labels(cfg.blocks, 3)
+    assert frozen == {"Conv_0", "BatchNorm_0", "BottleneckBlock_0"}
+    model = F.FasterRCNN(cfg)
+    tx, _ = TF.make_optimizer(frozen=frozen)
+    state = TF.init_state(model, jax.random.key(0), 64, tx)
+    step = jax.jit(TF.make_train_step(model, tx, 64, None, False))
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8))
+    gb = np.zeros((2, 8, 4), np.float32)
+    gc = np.full((2, 8), -1, np.int32)
+    gb[:, 0] = [4, 4, 30, 30]
+    gc[:, 0] = 1
+    s2, m = step(state, imgs, jnp.asarray(gb), jnp.asarray(gc),
+                 jax.random.key(1))
+    before = tu.flatten_dict(jax.tree.map(np.asarray,
+                                          state.params["backbone"]))
+    after = tu.flatten_dict(jax.tree.map(np.asarray,
+                                         s2.params["backbone"]))
+    for k in before:
+        if k[0] in frozen:
+            np.testing.assert_array_equal(before[k], after[k])
+    assert any(not np.array_equal(before[k], after[k])
+               for k in before if k[0] not in frozen)
+    # frozen-layer BN stats still update
+    sb = tu.flatten_dict(jax.tree.map(np.asarray,
+                                      state.batch_stats["backbone"]))
+    sa = tu.flatten_dict(jax.tree.map(np.asarray,
+                                      s2.batch_stats["backbone"]))
+    assert any(not np.array_equal(sb[k], sa[k])
+               for k in sb if k[0] == "BatchNorm_0")
+
+
+def test_frozen_param_labels_mapping():
+    from robust_object_detection_tpu.models import resnet as resnet_lib
+
+    blocks = (3, 4, 6, 3)
+    assert resnet_lib.frozen_param_labels(blocks, 5) == set()
+    # torchvision trainable=4: conv1/bn1 frozen, all stages train
+    assert resnet_lib.frozen_param_labels(blocks, 4) == {
+        "Conv_0", "BatchNorm_0"}
+    # reference default (weights given -> 3): + layer1 = blocks 0..2
+    assert resnet_lib.frozen_param_labels(blocks, 3) == {
+        "Conv_0", "BatchNorm_0", "BottleneckBlock_0", "BottleneckBlock_1",
+        "BottleneckBlock_2"}

@@ -56,6 +56,8 @@ def bench_sweep() -> dict:
     from robust_object_detection_tpu.models import yolov8 as yolo_lib
     from robust_object_detection_tpu.train import detector as det
 
+    from robust_object_detection_tpu.core.profiling import StageTimer
+
     IMG_SIZE = 1024
     EVAL_BS = 8        # the r1 axon AOT-helper crash at bs>=4/1024px is
     #                    gone as of round 2 (verified up to bs=16)
@@ -76,34 +78,75 @@ def bench_sweep() -> dict:
                            optax.sgd(0.01))
     predict = jax.jit(det.make_predict_step(model, IMG_SIZE))
 
-    def run(tag: str, n_images: int) -> tuple:
+    def run(tag: str, n_images: int, timer=None) -> tuple:
+        """One full sweep; returns (n_eval, elapsed, top-stage seconds)."""
         base = root / tag
         split = synthetic.make_det_split(
             base / "raw", n_images=n_images,
             size_range=((768, 769), (1024, 1025)))
         convert.convert_det_to_coco(split, base / "proc" / "visdrone_coco6",
                                     "val")
+        stages = {}
         t0 = time.time()
         ts.build_coco_testsets(base / "proc" / "visdrone_coco6",
                                base / "testsets")
+        stages["build_testsets_s"] = time.time() - t0
+        t1 = time.time()
         restore.restore_testsets(base / "testsets", root / "unet",
-                                 batch_size=4)
+                                 batch_size=4, timer=timer)
+        stages["restore_s"] = time.time() - t1
         n_eval = 0
+        t2 = time.time()
         for layout in ("coco6", "coco6_restored"):
             res = DE.evaluate_testsets(predict, state, base / "testsets",
-                                       IMG_SIZE, EVAL_BS, layout=layout)
+                                       IMG_SIZE, EVAL_BS, layout=layout,
+                                       timer=timer)
             n_eval += sum(v["images"] for v in res.values())
-        return n_eval, time.time() - t0
+        stages["eval_8_passes_s"] = time.time() - t2
+        return n_eval, time.time() - t0, stages
 
     run("warmup", 2)                         # compile everything off-clock
-    n_eval, elapsed = run("timed", N_IMAGES)
+    n_eval, elapsed, stages = run("timed", N_IMAGES)
+
+    # Decomposition run: same workload, every device interaction FENCED
+    # (serialised) so wall-clock attributes truthfully to decode / H2D /
+    # device compute / D2H / score (VERDICT r2: "prove where every
+    # millisecond goes"). Fencing adds sync overhead, so the headline
+    # comes from the unfenced run above.
+    timer = StageTimer()
+    n_eval_d, elapsed_d, stages_d = run("decomp", N_IMAGES, timer=timer)
+    decomp = timer.summary()
+
+    # Tunnel-attributable time: fenced H2D + D2H of the eval passes and
+    # the restore fetch; on a local-PCIe host these transfers run at
+    # >10 GB/s (vs the tunnel's tens of MB/s) and vanish from the wall.
+    tunnel_s = sum(decomp.get(k, {}).get("total_s", 0.0)
+                   for k in ("eval/h2d", "eval/d2h", "restore/fetch",
+                             "restore/dispatch"))
+    eval_batches = decomp.get("eval/h2d", {}).get("count", 0)
+    h2d_bytes = eval_batches * EVAL_BS * IMG_SIZE * IMG_SIZE * 3
+    h2d_s = decomp.get("eval/h2d", {}).get("total_s", 0.0)
+    projected = n_eval_d / max(elapsed_d - tunnel_s, 1e-9)
     return {"metric": "e2e_corrupt_restore_detect_eval_images_per_sec_1chip",
             "value": round(n_eval / elapsed, 2), "unit": "images/sec",
             "images_evaluated": n_eval,
             "wall_seconds": round(elapsed, 1),
-            "note": "axon-tunnel bound: ~50 ms host sync + ~65 MB/s "
-                    "transfer per batch dominates the eval passes; on a "
-                    "real TPU host this path is PCIe/decode-bound"}
+            "top_stages_s": {k: round(v, 1) for k, v in stages.items()},
+            "decomposition_fenced": {
+                "wall_seconds": round(elapsed_d, 1),
+                "top_stages_s": {k: round(v, 1)
+                                 for k, v in stages_d.items()},
+                "stages": decomp,
+                "eval_h2d_MBps": round(h2d_bytes / 1e6 / max(h2d_s, 1e-9),
+                                       1),
+            },
+            "tunnel_attributed_s": round(tunnel_s, 1),
+            "projected_real_host_images_per_sec": round(projected, 2),
+            "note": "fenced decomposition run measures each stage with a "
+                    "device fetch barrier; 'projected' removes only the "
+                    "measured H2D/D2H transfer+sync time (local-PCIe "
+                    "hosts move these buffers >100x faster than the axon "
+                    "tunnel)"}
 
 
 def main() -> None:

@@ -39,17 +39,30 @@ def _write(path: Path, img: np.ndarray, quality: int = 95) -> None:
 
 def restore_images(apply_fn, variables, paths: List[Path],
                    out_dir: Path, batch_size: int = 8,
-                   num_threads: int = 8) -> int:
-    """Restore a list of images, batching same-padded-shape groups."""
+                   num_threads: int = 8, timer=None) -> int:
+    """Restore a list of images, batching same-padded-shape groups.
+
+    `apply_fn` is the uint8-in/uint8-out jitted forward
+    (models/unet.jit_apply_u8): normalisation and re-quantisation run on
+    device so host<->device traffic is 4x smaller each way, and batch k+1
+    is decoded + dispatched BEFORE batch k's output is fetched, so JPEG
+    decode/encode overlaps device compute (double buffering; the
+    reference runs per-image batch-1 fully serial,
+    restore_testsets.py:52-79).
+    """
     import jax
     import jax.numpy as jnp
     from concurrent.futures import ThreadPoolExecutor
+
+    from ..core.profiling import StageTimer
+    timer = timer if timer is not None else StageTimer()
 
     out_dir.mkdir(parents=True, exist_ok=True)
     groups: Dict[Tuple[int, int], List[Path]] = defaultdict(list)
     shapes: Dict[Path, Tuple[int, int]] = {}
     with ThreadPoolExecutor(num_threads) as pool:
-        sizes = list(pool.map(lambda p: _read(p).shape[:2], paths))
+        with timer.stage("restore/index_sizes"):
+            sizes = list(pool.map(lambda p: _read(p).shape[:2], paths))
     for p, (h, w) in zip(paths, sizes):
         ph, pw = h + (-h) % 16, w + (-w) % 16
         groups[(ph, pw)].append(p)
@@ -57,39 +70,55 @@ def restore_images(apply_fn, variables, paths: List[Path],
 
     n = 0
     with ThreadPoolExecutor(num_threads) as pool:
-        for (ph, pw), group in sorted(groups.items()):
-            for start in range(0, len(group), batch_size):
-                chunk = group[start:start + batch_size]
-                imgs = list(pool.map(_read, chunk))
-                batch = np.zeros((len(chunk), ph, pw, 3), np.float32)
-                for i, im in enumerate(imgs):
-                    h, w = im.shape[:2]
-                    # reflect-pad to the group's padded shape
-                    batch[i] = np.pad(
-                        im.astype(np.float32),
-                        ((0, ph - h), (0, pw - w), (0, 0)),
-                        mode="reflect") / 255.0
-                out = np.asarray(apply_fn(variables, jnp.asarray(batch)))
+
+        def drain(inflight) -> None:
+            nonlocal n
+            chunk, out_dev = inflight
+            with timer.stage("restore/fetch"):
+                out = np.asarray(out_dev)          # uint8 (B, ph, pw, 3)
+            with timer.stage("restore/encode"):
                 writes = []
                 for i, p in enumerate(chunk):
                     h, w = shapes[p]
-                    img = np.clip(out[i, :h, :w] * 255.0 + 0.5, 0,
-                                  255).astype(np.uint8)
-                    writes.append(pool.submit(_write, out_dir / p.name, img))
+                    writes.append(pool.submit(_write, out_dir / p.name,
+                                              out[i, :h, :w]))
                 for wjob in writes:
                     wjob.result()
-                n += len(chunk)
+            n += len(chunk)
+
+        inflight = None
+        for (ph, pw), group in sorted(groups.items()):
+            for start in range(0, len(group), batch_size):
+                chunk = group[start:start + batch_size]
+                with timer.stage("restore/decode_pad"):
+                    imgs = list(pool.map(_read, chunk))
+                    batch = np.zeros((len(chunk), ph, pw, 3), np.uint8)
+                    for i, im in enumerate(imgs):
+                        h, w = im.shape[:2]
+                        # reflect-pad to the group's padded shape (uint8
+                        # pad == f32 pad of the same pixels; /255 runs on
+                        # device inside apply_fn)
+                        batch[i] = np.pad(
+                            im, ((0, ph - h), (0, pw - w), (0, 0)),
+                            mode="reflect")
+                with timer.stage("restore/dispatch"):
+                    out_dev = apply_fn(variables, jnp.asarray(batch))
+                if inflight is not None:
+                    drain(inflight)
+                inflight = (chunk, out_dev)
+        if inflight is not None:
+            drain(inflight)
     return n
 
 
 def restore_testsets(testset_root: str | Path, unet_dir: str | Path,
-                     channels=(32, 64, 128, 256), batch_size: int = 8
-                     ) -> dict:
+                     channels=(32, 64, 128, 256), batch_size: int = 8,
+                     timer=None) -> dict:
     """Build ``{coco6,yolo6}_restored`` next to the frozen testsets."""
     from ..train.restoration import load_best
     testset_root = Path(testset_root)
     model, variables = load_best(unet_dir, channels)
-    apply_fn = unet_lib.jit_apply(model)
+    apply_fn = unet_lib.jit_apply_u8(model)
 
     counts = {}
     for fmt in ("coco6", "yolo6"):
@@ -122,7 +151,8 @@ def restore_testsets(testset_root: str | Path, unet_dir: str | Path,
             paths = sorted(img_src.glob("*.jpg"))
             if variant in RESTORE_VARIANTS:
                 counts[f"{fmt}/{variant}"] = restore_images(
-                    apply_fn, variables, paths, img_dst, batch_size)
+                    apply_fn, variables, paths, img_dst, batch_size,
+                    timer=timer)
             else:     # Clean copied unchanged (restore_testsets.py:145-159)
                 img_dst.mkdir(parents=True, exist_ok=True)
                 for p in paths:

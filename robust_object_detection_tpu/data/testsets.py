@@ -59,10 +59,20 @@ SEED = 42
 @functools.lru_cache(maxsize=64)
 def _blur_fn(h: int, w: int, c: int, k: int, angle: float):
     import jax
+    import jax.numpy as jnp
 
+    # uint8 in / uint8 out: the u8<->f32 conversions run on device so the
+    # host<->device transfer is 4x smaller each way (the tunnel-bound sweep
+    # bench measured H2D as a dominant stage). apply_motion_blur already
+    # quantizes (round-half-even, cv2 saturate_cast parity), so the final
+    # floor+clip converts exact integer-valued floats — equal to the
+    # previous host-side np astype(np.uint8) up to XLA-fusion 1-ulp
+    # effects inside the conv (the pre-existing +-1 LSB cv2 parity bar).
     @jax.jit
-    def f(img):
-        return corrupt_ops.apply_motion_blur(img, k=k, angle_deg=angle)
+    def f(img_u8):
+        y = corrupt_ops.apply_motion_blur(img_u8.astype(jnp.float32),
+                                          k=k, angle_deg=angle)
+        return jnp.floor(jnp.clip(y, 0, 255)).astype(jnp.uint8)
     return f
 
 
@@ -73,11 +83,12 @@ def _lowres_fn(h: int, w: int, c: int, factor: float):
     sh, sw = int(h * factor), int(w * factor)
 
     @jax.jit
-    def f(img):
-        small = image_ops.resize_area(img, sh, sw)
+    def f(img_u8):
+        small = image_ops.resize_area(img_u8.astype(jnp.float32), sh, sw)
         small = image_ops.quantize_round_half_up(small)
         up = image_ops.resize_bilinear(small, h, w)
-        return image_ops.quantize_round_half_up(up)
+        up = image_ops.quantize_round_half_up(up)
+        return jnp.floor(jnp.clip(up, 0, 255)).astype(jnp.uint8)
     return f
 
 
@@ -101,12 +112,12 @@ def make_corruptors(cfg: CorruptionConfig, rng: np.random.RandomState,
     def blur(img: np.ndarray) -> np.ndarray:
         h, w, c = img.shape
         f = _blur_fn(h, w, c, cfg.blur_kernel, cfg.blur_angle_deg)
-        return np.asarray(f(img.astype(np.float32))).astype(np.uint8)
+        return np.asarray(f(img))
 
     def lowres(img: np.ndarray) -> np.ndarray:
         h, w, c = img.shape
         f = _lowres_fn(h, w, c, cfg.downscale_factor)
-        return np.asarray(f(img.astype(np.float32))).astype(np.uint8)
+        return np.asarray(f(img))
 
     return {"Test_Clean": clean, "Test_Noise": noise, "Test_Blur": blur,
             "Test_LowRes": lowres}
@@ -134,6 +145,36 @@ def _write_image(path: Path, img: np.ndarray, quality: int = 95) -> None:
         Image.fromarray(img).save(path, quality=quality)
     else:                                   # lossless formats: exact bytes
         Image.fromarray(img).save(path)
+
+
+def _corrupt_dir(src_imgs: list[Path], fn, img_out: Path,
+                 num_threads: int = 8, lookahead: int = 8) -> None:
+    """read -> corrupt -> write for one variant directory, pipelined.
+
+    Corruption stays SEQUENTIAL in file order — the shared MT19937 noise
+    stream's draw order is part of the frozen-testset contract
+    (build_corrupted_testsets.py seeds once; data/testsets.py:29-38) — but
+    JPEG decode is prefetched `lookahead` deep and JPEG encode runs async
+    on the pool, so host codec work overlaps the device corrupt ops.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(num_threads) as pool:
+        reads: deque = deque()
+        writes: deque = deque()
+        idx = 0
+        for p in src_imgs:
+            while idx < len(src_imgs) and len(reads) < lookahead:
+                reads.append(pool.submit(_read_image, src_imgs[idx]))
+                idx += 1
+            img = reads.popleft().result()
+            writes.append(pool.submit(_write_image, img_out / p.name,
+                                      fn(img)))
+            while len(writes) > 4 * num_threads:    # bound buffered arrays
+                writes.popleft().result()
+        for w in writes:
+            w.result()
 
 
 def _variant_data_yaml(variant_dir: Path) -> None:
@@ -166,8 +207,8 @@ def build_yolo_testsets(yolo_root: str | Path, out_root: str | Path,
         lbl_out = vdir / "labels" / "val"
         img_out.mkdir(parents=True, exist_ok=True)
         lbl_out.mkdir(parents=True, exist_ok=True)
+        _corrupt_dir(src_imgs, fns[variant], img_out)
         for p in src_imgs:
-            _write_image(img_out / p.name, fns[variant](_read_image(p)))
             lbl = src_lbl / (p.stem + ".txt")
             if lbl.exists():
                 shutil.copy2(lbl, lbl_out / lbl.name)
@@ -190,8 +231,7 @@ def build_coco_testsets(coco_root: str | Path, out_root: str | Path,
         ann_out = vdir / "annotations"
         img_out.mkdir(parents=True, exist_ok=True)
         ann_out.mkdir(parents=True, exist_ok=True)
-        for p in src_imgs:
-            _write_image(img_out / p.name, fns[variant](_read_image(p)))
+        _corrupt_dir(src_imgs, fns[variant], img_out)
         if ann.exists():
             shutil.copy2(ann, ann_out / "instances_val.json")
 

@@ -94,6 +94,25 @@ def jit_apply(model: RestorationUNet):
     return jax.jit(lambda v, x: model.apply(v, x, train=False))
 
 
+def jit_apply_u8(model: RestorationUNet):
+    """uint8-in/uint8-out jitted inference apply.
+
+    The u8->f32/255 normalisation and the f32->u8 re-quantisation
+    (clip(y*255+0.5, 0, 255) then truncate — restore_testsets.py:74-77's
+    np.clip(...).astype(np.uint8), floor == truncate for non-negatives)
+    run ON DEVICE, so host<->device traffic is uint8: 4x less than
+    shipping f32 each way. Output matches the host-side path within
+    +-1 LSB: fusing the scale ops into the model executable can shift
+    y by 1 ulp, which flips a byte when y*255+0.5 sits exactly on an
+    integer boundary (measured 1/55296 bytes on v5e).
+    """
+    def f(v, x_u8):
+        y = model.apply(v, x_u8.astype(jnp.float32) / 255.0, train=False)
+        return jnp.floor(jnp.clip(y * 255.0 + 0.5, 0.0, 255.0)
+                         ).astype(jnp.uint8)
+    return jax.jit(f)
+
+
 def param_count(variables: dict) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(variables["params"]))
 

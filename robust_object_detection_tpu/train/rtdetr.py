@@ -257,57 +257,38 @@ def hungarian_match(logits: jax.Array, boxes: jax.Array,
 
 def varifocal_loss(logits: jax.Array, target_cls: jax.Array,
                    target_iou: jax.Array, alpha: float = 0.75,
-                   gamma: float = 2.0, per_image: bool = False) -> jax.Array:
-    """VFL: positives weighted by IoU target, negatives by p^gamma.
-
-    per_image=True returns a (B,) vector of per-image sums (so callers can
-    re-normalise per folded layer) instead of the global sum."""
+                   gamma: float = 2.0) -> jax.Array:
+    """VFL: positives weighted by IoU target, negatives by p^gamma."""
     nc = logits.shape[-1]
     t = jax.nn.one_hot(jnp.maximum(target_cls, 0), nc) * \
         target_iou[..., None] * (target_cls >= 0)[..., None]
     p = jax.nn.sigmoid(logits)
     weight = jnp.where(t > 0, t, alpha * p ** gamma)
     bce = optax.sigmoid_binary_cross_entropy(logits, t)
-    if per_image:
-        return (bce * weight).sum(axis=tuple(range(1, bce.ndim)))
     return (bce * weight).sum()
 
 
-def _matched_losses(logits, boxes, gt_boxes_n, gt_classes) -> Dict:
-    """Match one (possibly layer-folded) batch and return PER-IMAGE loss
-    sums: dict of (B,) arrays cls/l1/giou (un-normalised), matched count,
-    and the auction cap flag."""
+def _layer_loss(logits, boxes, gt_boxes_n, gt_classes):
     gt_for_q, iou_q, aux = hungarian_match(
         jax.lax.stop_gradient(logits), jax.lax.stop_gradient(boxes),
         gt_boxes_n, gt_classes)
     matched = gt_for_q >= 0
+    n_pos = jnp.maximum(matched.sum(), 1.0)
     tgt_cls = jnp.where(
         matched,
         jnp.take_along_axis(jnp.maximum(gt_classes, 0),
                             jnp.maximum(gt_for_q, 0), 1), -1)
-    cls = varifocal_loss(logits, tgt_cls, jax.lax.stop_gradient(iou_q),
-                         per_image=True)
+    cls_l = varifocal_loss(logits, tgt_cls,
+                           jax.lax.stop_gradient(iou_q)) / n_pos
 
     tgt_box = jnp.take_along_axis(gt_boxes_n,
                                   jnp.maximum(gt_for_q, 0)[..., None], 1)
-    l1 = (jnp.abs(boxes - tgt_box).sum(-1) * matched).sum(1)
+    l1 = (jnp.abs(boxes - tgt_box).sum(-1) * matched).sum() / n_pos
     giou = box_ops.giou(_cxcywh_to_xyxy(boxes), _cxcywh_to_xyxy(tgt_box))
-    giou_l = ((1.0 - giou) * matched).sum(1)
-    return {"cls": cls, "l1": l1, "giou": giou_l,
-            "matched": matched.sum(1).astype(jnp.float32),
-            "capped": aux["capped"]}
-
-
-def _layer_loss(logits, boxes, gt_boxes_n, gt_classes):
-    """One layer's set loss (batch-normalised by its own n_pos)."""
-    per = _matched_losses(logits, boxes, gt_boxes_n, gt_classes)
-    n_pos = jnp.maximum(per["matched"].sum(), 1.0)
-    cls_l = per["cls"].sum() / n_pos
-    l1 = per["l1"].sum() / n_pos
-    giou_l = per["giou"].sum() / n_pos
+    giou_l = ((1.0 - giou) * matched).sum() / n_pos
     return W_CLASS * cls_l + W_L1 * l1 + W_GIOU * giou_l, {
         "cls": cls_l, "l1": l1, "giou": giou_l, "n_pos": n_pos,
-        "capped": per["capped"].sum()}
+        "capped": aux["capped"].sum()}
 
 
 # ── Contrastive denoising (CDN) ──────────────────────────────────────────
@@ -397,42 +378,27 @@ def dn_loss(dn_logits: jax.Array, dn_boxes: jax.Array, dn_gt: jax.Array,
 def rtdetr_loss(outputs: Dict, gt_boxes_xyxy: jax.Array,
                 gt_classes: jax.Array, img_size: int
                 ) -> Tuple[jax.Array, Dict]:
-    """Deep-supervised set loss: every decoder layer + encoder proposals.
-
-    The L decoder layers and the encoder head share one BATCHED matching:
-    layers fold into the batch axis ((L+1)*B images), so the auction's
-    while_loop runs max-rounds-over-layers instead of sum-of-rounds and
-    the cost einsums feed the MXU (L+1)x larger. Per-layer n_pos
-    normalisation (each layer's losses divide by that layer's matched
-    count, as in the unrolled form) is recovered by reshaping the
-    per-image sums back to (L+1, B) before reducing.
-    """
+    """Deep-supervised set loss: every decoder layer + encoder proposals."""
     gt_n = to_norm_cxcywh(gt_boxes_xyxy, img_size)
-    logits, boxes = outputs["logits"], outputs["boxes"]
-    lyr, b, q, nc = logits.shape
-    logits_all = jnp.concatenate(
-        [logits.reshape(lyr * b, q, nc), outputs["enc_logits"]], 0)
-    boxes_all = jnp.concatenate(
-        [boxes.reshape(lyr * b, q, 4), outputs["enc_boxes"]], 0)
-    per = _matched_losses(logits_all, boxes_all,
-                          jnp.tile(gt_n, (lyr + 1, 1, 1)),
-                          jnp.tile(gt_classes, (lyr + 1, 1)))
-
-    def by_layer(v):
-        return v.reshape(lyr + 1, b).sum(1)
-
-    n_pos = jnp.maximum(by_layer(per["matched"]), 1.0)
-    cls_l = by_layer(per["cls"]) / n_pos
-    l1_l = by_layer(per["l1"]) / n_pos
-    giou_l = by_layer(per["giou"]) / n_pos
-    total = (W_CLASS * cls_l + W_L1 * l1_l + W_GIOU * giou_l).sum()
-    metrics = {"dec_cls": cls_l[lyr - 1], "dec_l1": l1_l[lyr - 1],
-               "dec_giou": giou_l[lyr - 1], "dec_n_pos": n_pos[lyr - 1],
-               "enc_cls": cls_l[lyr],
-               # image-matchings where the auction hit its round cap and
-               # greedy-completed (0 in normal training; nonzero =
-               # dense-GT regime)
-               "matcher_capped": per["capped"].sum()}
+    total = 0.0
+    metrics = {}
+    capped = 0.0
+    n_layers = outputs["logits"].shape[0]
+    for li in range(n_layers):
+        l, m = _layer_loss(outputs["logits"][li], outputs["boxes"][li],
+                           gt_n, gt_classes)
+        total = total + l
+        capped = capped + m["capped"]
+        if li == n_layers - 1:
+            metrics = {f"dec_{k}": v for k, v in m.items()
+                       if k != "capped"}
+    enc_l, enc_m = _layer_loss(outputs["enc_logits"], outputs["enc_boxes"],
+                               gt_n, gt_classes)
+    total = total + enc_l
+    metrics["enc_cls"] = enc_m["cls"]
+    # image-matchings where the auction hit its round cap and greedy
+    # -completed (0 in normal training; nonzero = dense-GT regime)
+    metrics["matcher_capped"] = capped + enc_m["capped"]
     return total, metrics
 
 

@@ -1,0 +1,298 @@
+"""Batched one-to-one assignment solvers for set matching (TPU-native).
+
+RT-DETR's Hungarian matching (reference capability: Ultralytics
+HungarianMatcher / scipy.optimize.linear_sum_assignment inside
+RTDETRDetectionLoss — SURVEY.md §2.2 "set-matching loss") needs 7
+independent (Q x M) assignments per train step. On TPU the practical
+algorithm is the Bertsekas forward auction (eps-optimal, one vector sweep
+per round) with a bounded round count and a greedy completion for the
+pathological >Q-real-GTs regime — see train/rtdetr.py for the algorithm
+discussion and the matcher_capped metric.
+
+This module owns the SOLVER KERNELS:
+
+* :func:`auction_assignment_ref` — the vectorised XLA implementation
+  (every round is one batched (B, M, Q) sweep inside a lax.while_loop).
+  This is the production default on every backend.
+* :func:`auction_assignment` — the dispatcher; adds the greedy
+  completion for capped images, and can route to the Pallas kernel
+  (`use_pallas=True`): the whole solve — every auction round AND the
+  greedy completion — in ONE kernel invocation with the full (B, M, Q)
+  value tensor resident in VMEM (3.7 MB at the production shape).
+
+  Measured result (see auction_assignment's docstring): the kernel is
+  NOT faster. XLA's while_loop body is already a fused executable — an
+  auction round is VPU-bound (~20 us over (8, 304, 384)) in both
+  formulations, so VMEM residency buys nothing here. Kept as a tested,
+  documented negative result; the throughput lever that actually worked
+  was capping rounds (train/rtdetr.py AUCTION_MAX_ROUNDS).
+
+Semantics (both paths): bidders are the GT columns, items the queries;
+round = every unassigned valid GT bids its best query at second-best + eps;
+queries accept the highest bid. Terminates with eps-complementary
+slackness => within n_real*eps of the Hungarian optimum (Bertsekas 1988).
+If any valid GT is still unassigned at max_rounds the image is flagged
+``capped`` and its matching is REPLACED by a from-scratch greedy solve
+(repeatedly take the globally cheapest (query, gt) pair — maximal, and
+within a fraction of a percent of optimal on detection-shaped costs;
+tests/test_rtdetr.py::test_greedy_close_to_hungarian).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e6          # prohibitive cost for padded GTs (matches train.rtdetr)
+_NEG = -1e18       # "no bid" sentinel
+_LANE = 128
+
+_INTERPRET = False   # tests flip this to run the kernel on CPU
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ── XLA reference (CPU/GPU path + kernel ground truth) ───────────────────
+
+def auction_assignment_ref(cost: jax.Array, valid: jax.Array,
+                           eps: float = 0.005, max_rounds: int = 150
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Vectorised forward auction; returns (owner (B, Q) int32 — gt index
+    per query, -1 unowned; capped (B,) bool). NO greedy completion — the
+    caller handles capped images (train/rtdetr.py lax.cond's a greedy
+    solve so the loop stays off the uncapped hot path)."""
+    b, qn, m = cost.shape
+    value = -cost.transpose(0, 2, 1)                 # (B, M, Q) maximize
+    qids = jnp.arange(qn, dtype=jnp.int32)
+    mids = jnp.arange(m, dtype=jnp.int32)
+
+    def assigned_mask(owner):
+        return jnp.any(owner[:, :, None] == mids, axis=1)
+
+    def cond(s):
+        r, price, owner = s
+        return (r < max_rounds) & jnp.any(valid & ~assigned_mask(owner))
+
+    def body(s):
+        r, price, owner = s
+        bidding = valid & ~assigned_mask(owner)      # (B, M)
+        net = value - price[:, None, :]              # (B, M, Q)
+        j1 = net.argmax(-1)                          # (B, M)
+        net2 = jnp.where(qids[None, None, :] == j1[..., None], _NEG, net)
+        w2 = net2.max(-1)
+        v1 = jnp.take_along_axis(value, j1[..., None], -1)[..., 0]
+        bid_price = v1 - w2 + eps                    # new price if it wins
+        bidmat = jnp.where(
+            (j1[..., None] == qids[None, None, :]) & bidding[..., None],
+            bid_price[..., None], _NEG)              # (B, M, Q)
+        best = bidmat.max(1)                         # (B, Q)
+        winner = bidmat.argmax(1).astype(jnp.int32)
+        won = best > _NEG / 2
+        price = jnp.where(won, best, price)
+        owner = jnp.where(won, winner, owner)
+        return r + 1, price, owner
+
+    price0 = jnp.zeros((b, qn), jnp.float32)
+    owner0 = jnp.full((b, qn), -1, jnp.int32)
+    _, _, owner = jax.lax.while_loop(cond, body, (0, price0, owner0))
+    capped = jnp.any(valid & ~assigned_mask(owner), axis=1)       # (B,)
+    return owner, capped
+
+
+# ── Pallas kernel: full solve (auction + greedy completion) in VMEM ─────
+
+def _auction_kernel(eps, max_rounds, n_greedy,
+                    value_ref, valid_ref, out_ref):
+    """ONE program, all images lockstep (the whole (B, Mp, Qp) value
+    tensor lives in VMEM — 3.7 MB at the production shape). value_ref:
+    (B, Mp, Qp) f32 (= -cost, padded queries at -1e9, padded/invalid GT
+    rows at -BIG); valid_ref: (B, Mp, 1) f32 {0,1}. Writes out
+    (B, 8, Qp) int32: row 0 = owner (gt per query, -1 unowned), row 1 =
+    capped flag broadcast (TPU blocks need 8-row alignment; rows 2-7 pad).
+
+    Lockstep batching matches the XLA reference's shape of work (a round
+    is a handful of (B, Mp, Qp) VPU passes) but each round is a VMEM loop
+    iteration instead of a separately scheduled fusion, and the greedy
+    completion reuses the resident value tensor."""
+    b, mp, qp = value_ref.shape
+    value = value_ref[...]                           # (B, Mp, Qp)
+    valid = valid_ref[...] > 0.5                     # (B, Mp, 1)
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (b, mp, qp), 2)
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (b, mp, qp), 1)
+
+    def assigned(owner):                             # (B, Mp, 1)
+        return jnp.any(owner[:, None, :] == iota_m, axis=2, keepdims=True)
+
+    def cond(s):
+        r, price, owner = s
+        return (r < max_rounds) & jnp.any(valid & ~assigned(owner))
+
+    def body(s):
+        r, price, owner = s
+        bidding = valid & ~assigned(owner)           # (B, Mp, 1)
+        net = value - price[:, None, :]              # (B, Mp, Qp)
+        j1 = net.argmax(axis=2).astype(jnp.int32)[..., None]  # (B, Mp, 1)
+        at_j1 = iota_q == j1
+        w2 = jnp.where(at_j1, _NEG, net).max(axis=2, keepdims=True)
+        # bid in raw VALUE units vs the second-best NET, exactly as the
+        # reference: new price at j1 = value(m, j1) - w2 + eps.
+        # (mask-reduce instead of take_along_axis: Mosaic's gather wants
+        # full-shape indices)
+        vv1 = jnp.where(at_j1, value, _NEG).max(axis=2, keepdims=True)
+        bid = vv1 - w2 + eps                         # (B, Mp, 1)
+        bidmat = jnp.where(at_j1 & bidding, bid, _NEG)         # (B,Mp,Qp)
+        best = bidmat.max(axis=1)                    # (B, Qp)
+        winner = bidmat.argmax(axis=1).astype(jnp.int32)       # (B, Qp)
+        won = best > _NEG / 2
+        price = jnp.where(won, best, price)
+        owner = jnp.where(won, winner, owner)
+        return r + 1, price, owner
+
+    price0 = jnp.zeros((b, qp), jnp.float32)
+    owner0 = jnp.full((b, qp), -1, jnp.int32)
+    _, _, owner = jax.lax.while_loop(cond, body,
+                                     (jnp.int32(0), price0, owner0))
+    capped = jnp.any(valid & ~assigned(owner), axis=1)         # (B, 1)
+
+    # Greedy completion for capped images: from-scratch maximal matching on
+    # the raw value matrix (prices discarded — the capped auction state is
+    # mid-displacement and unusable). The loop runs only when some image
+    # capped (fori bound 0 otherwise); uncapped images are masked out via
+    # `take`.
+    def greedy_step(_, s):
+        g, owner = s                                 # g: (B, Mp*Qp) flat
+        tot_best = g.max(axis=1, keepdims=True)      # (B, 1)
+        flat = g.argmax(axis=1).astype(jnp.int32)[:, None]     # (B, 1)
+        m_star = flat // qp
+        q_star = flat % qp
+        take = (tot_best > -BIG / 2) & capped        # (B, 1)
+        owner = jnp.where(take & (iota_q[:, 0, :] == q_star),
+                          m_star, owner)
+        g3 = g.reshape(b, mp, qp)
+        g3 = jnp.where(take[..., None] & ((iota_m == m_star[..., None])
+                                          | (iota_q == q_star[..., None])),
+                       _NEG, g3)
+        return g3.reshape(b, mp * qp), owner
+
+    # loop bound: the largest assignable-pair count in the batch (picks
+    # beyond it are take-guard no-ops), 0 when nothing capped
+    n_assignable = jnp.minimum(
+        valid[..., 0].sum(axis=1).max().astype(jnp.int32), n_greedy)
+    n_iter = jnp.where(jnp.any(capped), n_assignable, 0)
+    _, owner_g = jax.lax.fori_loop(
+        0, n_iter, greedy_step,
+        (value.reshape(b, mp * qp), jnp.full((b, qp), -1, jnp.int32)))
+    owner = jnp.where(capped, owner_g, owner)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, 8, qp), 1)
+    out_ref[...] = jnp.where(
+        rows == 0, owner[:, None, :],
+        jnp.where(rows == 1, capped.astype(jnp.int32)[:, None, :], 0))
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "max_rounds"))
+def _auction_pallas(value, valid_f, eps: float, max_rounds: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, mp, qp = value.shape
+    n_greedy = min(mp, qp)
+    kernel = functools.partial(_auction_kernel, eps, max_rounds, n_greedy)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 8, qp), jnp.int32),
+        interpret=_INTERPRET,
+    )(value, valid_f)
+
+
+def auction_assignment(cost: jax.Array, valid: jax.Array,
+                       eps: float = 0.005, max_rounds: int = 150,
+                       complete_greedy: bool = True,
+                       use_pallas: bool = False
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Solve B independent (Q, M) assignments. Returns
+    (gt_for_query (B, Q) int32 with -1 = unmatched, capped (B,) bool).
+
+    cost: (B, Q, M) f32 — padded GTs must carry prohibitive cost >= BIG.
+    valid: (B, M) bool — real-GT mask (padded GTs never bid).
+
+    Default: the XLA reference everywhere; when complete_greedy, capped
+    images are re-solved greedily under a lax.cond (off the hot path when
+    nothing capped). use_pallas=True (or _INTERPRET for tests) takes the
+    fused single-dispatch Pallas kernel instead.
+
+    MEASURED (v5e, B=8, Q=M=300): the two are equivalent in the normal
+    regime (~1.2-1.4 ms per matching) because an auction round is a
+    VPU-bound sweep inside a compiled loop either way — XLA's while_loop
+    body is a fused executable, not a per-round dispatch, so there is no
+    launch overhead for a kernel to remove. In the all-capped dense
+    regime the XLA path wins (~4.6 vs ~7.5 ms): its batched greedy
+    completion iteration is leaner than the in-kernel one. The kernel is
+    kept (tested, single dispatch) for the record and for shapes where
+    VMEM-residency could matter, but it is not the default.
+    """
+    b, qn, m = cost.shape
+    if use_pallas or _INTERPRET:
+        qp = max(_round_up(qn, _LANE), _LANE)
+        mp = _round_up(m, 8)
+        value = -cost.transpose(0, 2, 1).astype(jnp.float32)
+        value = jnp.pad(value, ((0, 0), (0, mp - m), (0, 0)),
+                        constant_values=-BIG)
+        value = jnp.pad(value, ((0, 0), (0, 0), (0, qp - qn)),
+                        constant_values=-1e9)
+        valid_f = jnp.pad(valid.astype(jnp.float32),
+                          ((0, 0), (0, mp - m)))[..., None]   # (B, Mp, 1)
+        out = _auction_pallas(value, valid_f, float(eps), int(max_rounds))
+        return out[:, 0, :qn], out[:, 1, 0] > 0
+
+    owner, capped = auction_assignment_ref(cost, valid, eps, max_rounds)
+    if complete_greedy:
+        owner = jax.lax.cond(
+            jnp.any(capped),
+            lambda o: jnp.where(capped[:, None],
+                                _greedy_owner(cost, m), o),
+            lambda o: o, owner)
+    return owner, capped
+
+
+def _greedy_owner(cost: jax.Array, m: int) -> jax.Array:
+    """XLA greedy solve -> owner (B, Q) layout (helper for the ref path).
+
+    The pick loop is bounded by the LARGEST number of assignable pairs in
+    the batch, not min(Q, M): with ~80 real GTs and 300 queries, picks
+    81..300 can only select prohibitive pairs and the per-iteration take
+    guard makes them no-ops — so skip them (measured 3.7 -> ~1 ms per
+    fallback at the production shape)."""
+    b, qn, _ = cost.shape
+    k = min(qn, m)
+    n_assignable = (cost.min(axis=1) < BIG / 2).sum(axis=1)    # (B,)
+    n_iter = jnp.minimum(n_assignable.max(), k)
+
+    def per_image(c):
+        def body(_, s):
+            c_, owner = s
+            idx = jnp.argmin(c_.reshape(-1))
+            qi = (idx // m).astype(jnp.int32)
+            mi = (idx % m).astype(jnp.int32)
+            take = c_.reshape(-1)[idx] < BIG / 2
+            owner = jnp.where(
+                take & (jnp.arange(qn) == qi), mi, owner)
+            c_ = jnp.where(take, c_.at[qi, :].set(BIG).at[:, mi].set(BIG),
+                           c_)
+            return c_, owner
+
+        _, owner = jax.lax.fori_loop(
+            0, n_iter, body, (c, jnp.full((qn,), -1, jnp.int32)))
+        return owner
+
+    return jax.vmap(per_image)(cost)

@@ -22,6 +22,7 @@ import optax
 
 from ..core.config import CorruptionConfig
 from ..models import rtdetr as R
+from ..ops import assignment
 from ..ops import boxes as box_ops
 from ..ops import corrupt as corrupt_ops
 from . import validation
@@ -80,82 +81,22 @@ def _solve_assignment(cost: jax.Array, exact: bool = False):
     return jax.vmap(per_image)(cost)
 
 
-def _auction_assignment(cost: jax.Array, valid: jax.Array,
-                        eps: float = 0.005,
-                        max_rounds: int = 150) -> jax.Array:
-    """Bertsekas forward auction, fully vectorised per round.
+# Bertsekas forward auction (the default matcher): the solver lives in
+# ops/assignment.py (XLA reference + a fused single-dispatch Pallas
+# kernel; both paths include the greedy completion for capped images).
+# Algorithm notes, eps-CS optimality bound, and the no-eps-scaling
+# rationale are in that module's docstrings.
+_auction_assignment = assignment.auction_assignment_ref
 
-    cost: (B, Q, M) assignment cost; valid: (B, M) real-GT mask (padded
-    GTs never bid). Bidders are the GT columns; items are the queries.
-    Each round, every unassigned real GT bids for its best query at the
-    price that beats its second-best alternative by eps; queries accept
-    the highest bid, displacing the previous owner. On termination every
-    pair satisfies eps-complementary slackness, so the matching is within
-    n_real*eps of the Hungarian optimum (Bertsekas 1988).
-
-    Detection costs have strong spatial locality (each GT has a handful of
-    clearly-better queries), so contention is rare and a SINGLE phase at
-    small eps converges in ~5-15 rounds at (300, 120) — measured exactly
-    optimal on detection-shaped costs (test_rtdetr.py) — where each round
-    is one (B, M, Q) vector sweep instead of Hungarian's sequential row
-    augmentations (~170 ms/call on v5e). No eps-scaling: with more queries
-    than GTs, carrying prices across phases leaves phantom prices on
-    unassigned queries and breaks the optimality bound (observed +60%).
-
-    max_rounds bounds the pathological regime (more real GTs than
-    queries: the auction then displaces forever). When the cap bites —
-    any valid GT still unassigned at termination — the per-image `capped`
-    flag is set; the matching for those images is PARTIAL and mid
-    -displacement (prices escalated), so callers must not use it:
-    hungarian_match replaces capped images' assignments with the greedy
-    matcher run from scratch (maximal + within ~10% of optimal,
-    test_greedy_close_to_hungarian) and surfaces the count as the
-    `matcher_capped` training metric. The regime only arises on dense
-    synthetic stress inputs or >Q-real-GT mosaic crops, not typical
-    VisDrone (~54 GTs/image vs 300 queries).
-
-    Returns (gt_for_query (B, Q) int32, -1 where unmatched;
-             capped (B,) bool, True where the round cap bit).
-    """
-    b, qn, m = cost.shape
-    value = -cost.transpose(0, 2, 1)                 # (B, M, Q) maximize
-    neg = jnp.float32(-1e18)
-    qids = jnp.arange(qn, dtype=jnp.int32)
-    mids = jnp.arange(m, dtype=jnp.int32)
-
-    def assigned_mask(owner):
-        return jnp.any(owner[:, :, None] == mids, axis=1)
-
-    def cond(s):
-        r, price, owner = s
-        return (r < max_rounds) & jnp.any(valid & ~assigned_mask(owner))
-
-    def body(s):
-        r, price, owner = s
-        bidding = valid & ~assigned_mask(owner)      # (B, M)
-        net = value - price[:, None, :]              # (B, M, Q)
-        j1 = net.argmax(-1)                          # (B, M)
-        net2 = jnp.where(qids[None, None, :] == j1[..., None], neg, net)
-        w2 = net2.max(-1)
-        v1 = jnp.take_along_axis(value, j1[..., None], -1)[..., 0]
-        bid_price = v1 - w2 + eps                    # new price if it wins
-        bidmat = jnp.where(
-            (j1[..., None] == qids[None, None, :]) & bidding[..., None],
-            bid_price[..., None], neg)               # (B, M, Q)
-        best = bidmat.max(1)                         # (B, Q)
-        winner = bidmat.argmax(1).astype(jnp.int32)
-        won = best > neg / 2
-        price = jnp.where(won, best, price)
-        owner = jnp.where(won, winner, owner)
-        return r + 1, price, owner
-
-    price0 = jnp.zeros((b, qn), jnp.float32)
-    owner0 = jnp.full((b, qn), -1, jnp.int32)
-    _, _, owner = jax.lax.while_loop(cond, body, (0, price0, owner0))
-    # cap-hit detection: a valid GT left unassigned means the loop ended
-    # on the round bound, not on convergence — the caller falls back
-    capped = jnp.any(valid & ~assigned_mask(owner), axis=1)       # (B,)
-    return owner, capped
+AUCTION_MAX_ROUNDS = 48
+# Round cap: the trained regime converges in 5-15 rounds (measured,
+# detection-shaped costs at (300 queries, <=120 GTs)); only the contended
+# early-training / dense-GT regime ever runs longer, and there the capped
+# images fall back to the from-scratch greedy solve anyway (within ~10%
+# of optimal cost, test_greedy_close_to_hungarian) with the cap surfaced
+# as the matcher_capped metric. 48 = 3x the converged worst case; at the
+# old cap of 150 a random-init train step burned ~20 ms/step in auction
+# rounds that ended in the same greedy fallback.
 
 
 def to_norm_cxcywh(boxes_xyxy: jax.Array, img_size: float) -> jax.Array:
@@ -235,17 +176,10 @@ def hungarian_match(logits: jax.Array, boxes: jax.Array,
             jnp.where(matched_valid, cols_c, -1).astype(jnp.int32))[:, :q]
 
     if method == "auction":
-        gt_for_query, capped = _auction_assignment(cost, valid)
-        # Cap-hit fallback (see _auction_assignment): replace capped
-        # images' partial matchings with the greedy solve. lax.cond keeps
-        # the greedy loop off the hot path — it only executes when some
-        # image actually capped.
-        gt_for_query = jax.lax.cond(
-            jnp.any(capped),
-            lambda g: jnp.where(capped[:, None],
-                                solve_to_gt_for_query(False), g),
-            lambda g: g,
-            gt_for_query)
+        # auction + greedy completion for capped images, in
+        # ops/assignment.py (single fused Pallas dispatch on TPU)
+        gt_for_query, capped = assignment.auction_assignment(
+            cost, valid, max_rounds=AUCTION_MAX_ROUNDS)
     else:
         gt_for_query = solve_to_gt_for_query(method == "hungarian")
     iou = jax.vmap(box_ops.pairwise_iou)(qx, gx)               # (B, Q, M)

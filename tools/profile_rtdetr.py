@@ -115,13 +115,20 @@ def main():
     elif args.mode in ("fwd", "fwdbwd", "backbone"):
         x = images.astype(jnp.float32) / 255.0
         if args.mode == "backbone":
+            bb = R.HGNetV2L(dtype)
+            with bn_dtype_scope(dtype):
+                bvars = bb.init(jax.random.key(0),
+                                jnp.zeros((1, 256, 256, 3)), True)
+            bstats = bvars["batch_stats"]
+
             def fwd(params, x):
                 with bn_dtype_scope(dtype):
-                    feats, mut = model.apply(
-                        {"params": params, "batch_stats": state.batch_stats},
-                        x, train=True, mutable=["batch_stats"],
-                        method=lambda m, x, train: m.backbone(x, train=train))
+                    feats, mut = bb.apply(
+                        {"params": params, "batch_stats": bstats},
+                        x, True, mutable=["batch_stats"])
                 return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
+            state = type("S", (), {"params": bvars["params"],
+                                   "batch_stats": bstats})()
         else:
             def fwd(params, x):
                 with bn_dtype_scope(dtype):

@@ -83,9 +83,13 @@ def auction_assignment_ref(cost: jax.Array, valid: jax.Array,
         bidding = valid & ~assigned_mask(owner)      # (B, M)
         net = value - price[:, None, :]              # (B, M, Q)
         j1 = net.argmax(-1)                          # (B, M)
+        net1 = net.max(-1)                           # = net at j1
         net2 = jnp.where(qids[None, None, :] == j1[..., None], _NEG, net)
         w2 = net2.max(-1)
-        v1 = jnp.take_along_axis(value, j1[..., None], -1)[..., 0]
+        # v1 = raw value at j1 = net1 + price[j1]; gathering price (B, Q)
+        # by j1 is ~Q reads/image vs a (B, M, Q)-tensor gather for value
+        # (measured 8 ms/step at 48 rounds x 7 matchings)
+        v1 = net1 + jnp.take_along_axis(price, j1, axis=1)
         bid_price = v1 - w2 + eps                    # new price if it wins
         bidmat = jnp.where(
             (j1[..., None] == qids[None, None, :]) & bidding[..., None],

@@ -457,9 +457,23 @@ def _tpu_bwd(shapes, res, dout):
     dv_t, s_sorted = _bwd_pallas(sidx, sc, sqof, lo, hi, vt,
                                  dout_t.astype(jnp.bfloat16))
 
-    # unsort the per-tap scalars: sorting (pos, s) by pos restores the
-    # original tap order (pos was carried through the forward sort)
-    _, s = jax.lax.sort((spos, s_sorted.reshape(bh, t_pad)), num_keys=1)
+    # unsort the per-tap scalars: sorting by pos restores the original tap
+    # order (pos was carried through the forward sort). When pos fits in
+    # 15 bits, pack (pos << 16 | bf16-bits of s) into ONE int32 so the
+    # bitonic network moves one array instead of a key + f32 payload
+    # (~2x less data; bf16 matches the tap-matmul precision these
+    # gradients already carry — see the module parity note).
+    s_flat = s_sorted.reshape(bh, t_pad)
+    if t_pad < (1 << 15):
+        s_bits = jax.lax.bitcast_convert_type(
+            s_flat.astype(jnp.bfloat16), jnp.uint16).astype(jnp.int32)
+        packed = (spos << 16) | s_bits
+        (sp,) = jax.lax.sort((packed,), num_keys=1, is_stable=False)
+        s = jax.lax.bitcast_convert_type(
+            (sp & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32)
+    else:
+        _, s = jax.lax.sort((spos, s_flat), num_keys=1)
     s = s[:, :t].reshape(b, n_h, q, n_l, n_p, 4).transpose(0, 2, 1, 3, 4, 5)
 
     _, w, dwx, dwy = _merged_geometry(loc, shapes)   # (B,Q,n_h,L,P,4)

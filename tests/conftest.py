@@ -20,6 +20,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the slow tier is dominated by
+# trainer-step compiles on the virtual 8-CPU mesh (identical HLO between
+# runs). With the cache warm, repeat runs of the full suite drop from
+# tens of minutes to the pure execution time. Keyed per repo checkout;
+# safe to delete at any time.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -112,7 +112,7 @@ def main():
             stepj = jax.jit(step, donate_argnums=(0,))
             dt = timeit(stepj, state, (images, key), args.n,
                         lambda s: jax.tree.leaves(s.params)[0])
-    elif args.mode in ("fwd", "fwdbwd", "backbone"):
+    elif args.mode in ("fwd", "fwdbwd", "backbone", "encoder"):
         x = images.astype(jnp.float32) / 255.0
         if args.mode == "backbone":
             bb = R.HGNetV2L(dtype)
@@ -129,6 +129,33 @@ def main():
                 return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
             state = type("S", (), {"params": bvars["params"],
                                    "batch_stats": bstats})()
+        elif args.mode == "encoder":
+            # HybridEncoder (AIFI + CCFF RepC3 stack) fwd+bwd on
+            # backbone-shaped features. The features are passed as jit
+            # ARGUMENTS — closing over them bakes ~0.5 GB of constants
+            # into the HLO (the remote-compile endpoint rejects it).
+            enc = R.HybridEncoder(R.RtDetrConfig(num_classes=6), dtype)
+            s = args.img // 8
+            rngf = np.random.RandomState(1)
+            x = tuple(
+                jnp.asarray(rngf.rand(args.bs, s // (2 ** i), s // (2 ** i),
+                                      ch).astype(np.float32))
+                for i, ch in enumerate((512, 1024, 2048)))
+            with bn_dtype_scope(dtype):
+                evars = enc.init(
+                    jax.random.key(0),
+                    tuple(f[:1, :32 // (2 ** i), :32 // (2 ** i)]
+                          for i, f in enumerate(x)), True)
+            estats = evars["batch_stats"]
+
+            def fwd(params, feats):
+                with bn_dtype_scope(dtype):
+                    outs, mut = enc.apply(
+                        {"params": params, "batch_stats": estats},
+                        feats, True, mutable=["batch_stats"])
+                return sum(jnp.sum(f.astype(jnp.float32)) for f in outs)
+            state = type("S", (), {"params": evars["params"],
+                                   "batch_stats": estats})()
         else:
             def fwd(params, x):
                 with bn_dtype_scope(dtype):
@@ -137,24 +164,81 @@ def main():
                         x, train=True, mutable=["batch_stats"])
                 return sum(jnp.sum(outs[k].astype(jnp.float32)) for k in
                            ("logits", "boxes", "enc_logits", "enc_boxes"))
-        if args.mode == "fwd":
-            f = jax.jit(fwd)
-        else:
-            f = jax.jit(jax.grad(fwd))
-        # chain via a scalar carry folded into x so steps serialize
-        def chained(carry, x):
-            out = f(state.params, x + carry * 0.0)
-            c = (jax.tree.leaves(out)[0] if isinstance(out, dict)
-                 else out)
-            return jnp.sum(jax.tree.leaves(c)[0]
-                           if not hasattr(c, "ndim") else c) * 1e-20
-        c = chained(jnp.float32(0), x)
-        jax.device_get(c)
+        # Chain N iterations INSIDE one jit via lax.scan: a scalar carry
+        # perturbs x each step so XLA cannot dedup/DCE, and the tunnel is
+        # charged exactly one dispatch + one fetch for the whole chain
+        # (eager chaining ops outside jit cost ~45-95 ms/iter through
+        # axon and silently dominated earlier readings).
+        g = jax.grad(fwd) if args.mode != "fwd" else fwd
+
+        @jax.jit
+        def chain(x):
+            def body(carry, _):
+                xp = jax.tree.map(lambda a: a + carry * 1e-30, x)
+                out = g(state.params, xp)
+                leaf = jax.tree.leaves(out)[0]
+                return jnp.sum(leaf.astype(jnp.float32)) * 1e-20, ()
+            c, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                length=args.n)
+            return c
+        jax.device_get(chain(x))              # compile + run once
         t0 = time.time()
-        for _ in range(args.n):
-            c = chained(c, x)
-        jax.device_get(c)
+        jax.device_get(chain(x))
         dt = (time.time() - t0) / args.n
+    elif args.mode == "bbstages":
+        # Per-stage backbone fwd+bwd: each stage timed as its own chained
+        # jitted grad fn on correctly-shaped random inputs.
+        from flax import linen as nn
+
+        s = args.img
+        stages = [
+            ("stem", R.HGStem(32, 48, dtype), (s, s, 3)),
+            ("stage1", R.HGBlock(48, 128, 3, light=False, dtype=dtype),
+             (s // 4, s // 4, 48)),
+            ("ds1", None, None),   # placeholder; depthwise ds below
+            ("stage2", R.HGBlock(96, 512, 3, light=False, dtype=dtype),
+             (s // 8, s // 8, 128)),
+            ("stage3x1", R.HGBlock(192, 1024, 5, light=True, dtype=dtype),
+             (s // 16, s // 16, 512)),
+            ("stage4", R.HGBlock(384, 2048, 5, light=True, dtype=dtype),
+             (s // 32, s // 32, 1024)),
+        ]
+        from robust_object_detection_tpu.models.layers import ConvBnAct
+        stages[2] = ("ds1(dw)", ConvBnAct(128, 3, 2, groups=128, act=False,
+                                          dtype=dtype),
+                     (s // 4, s // 4, 128))
+        rngs = np.random.RandomState(0)
+        for name, mod, shp in stages:
+            x = jnp.asarray(rngs.rand(args.bs, *shp).astype(np.float32))
+            with bn_dtype_scope(dtype):
+                small = tuple(min(d, 64) if i < 2 else d
+                              for i, d in enumerate(shp))
+                v = mod.init(jax.random.key(0), jnp.zeros((1, *small)), True)
+
+            def fwd(params, x, mod=mod, stats=v.get("batch_stats", {})):
+                with bn_dtype_scope(dtype):
+                    out, _ = mod.apply(
+                        {"params": params, "batch_stats": stats}, x, True,
+                        mutable=["batch_stats"])
+                return jnp.sum(out.astype(jnp.float32))
+            g = jax.grad(fwd, argnums=(0, 1))   # param + input grads, as
+            #                                     the real net needs both
+
+            @jax.jit
+            def chain(params, x):
+                def body(carry, _):
+                    dp, dx = g(params, x + carry * 1e-30)
+                    return jnp.sum(dx.astype(jnp.float32)) * 1e-20, ()
+                c, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                    length=args.n)
+                return c
+            jax.device_get(chain(v["params"], x))
+            t0 = time.time()
+            jax.device_get(chain(v["params"], x))
+            dt_s = (time.time() - t0) / args.n
+            # stage3 runs 3 similar blocks in the real net
+            print(f"  {name}: {dt_s*1000:.1f} ms fwd+bwd (bs={args.bs})")
+        return
     elif args.mode in ("loss", "lossgrad"):
         lyr, q, nc = 6, 300, 6
         rng = jax.random.PRNGKey(0)
@@ -169,16 +253,21 @@ def main():
         def lf(outs):
             loss, _ = TR.rtdetr_loss(outs, gb, gc, args.img)
             return loss
-        f = jax.jit(lf if args.mode == "loss" else
-                    lambda o: jax.tree.leaves(jax.grad(lf)(o))[0].sum())
-        v = f(outs)
-        jax.device_get(v)
+        f = (lf if args.mode == "loss" else
+             lambda o: jax.tree.leaves(jax.grad(lf)(o))[0]
+             .astype(jnp.float32).sum())
+
+        @jax.jit
+        def chain(outs):
+            def body(carry, _):
+                o2 = dict(outs, enc_logits=outs["enc_logits"]
+                          + carry * 1e-30)
+                return f(o2) * 1e-20, ()
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=args.n)
+            return c
+        jax.device_get(chain(outs))
         t0 = time.time()
-        carry = v * 0.0
-        for _ in range(args.n):
-            o2 = dict(outs, enc_logits=outs["enc_logits"] + carry)
-            carry = f(o2) * 0.0
-        jax.device_get(carry)
+        jax.device_get(chain(outs))
         dt = (time.time() - t0) / args.n
     else:
         raise SystemExit(f"unknown mode {args.mode}")

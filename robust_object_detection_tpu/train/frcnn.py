@@ -278,7 +278,8 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
           pretrained: Optional[str] = None,
           dtype: Optional[str] = None,
           allow_pickle: bool = False,
-          trainable_layers: Optional[int] = None) -> dict:
+          trainable_layers: Optional[int] = None,
+          model_kwargs: Optional[dict] = None) -> dict:
     """Full FRCNN training driver (reference: 24 epochs, batch 2).
 
     dtype: computation dtype, "bfloat16" (TPU-native default — the
@@ -304,7 +305,13 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
     conv1/bn1/layer1 whenever weights are given — the reference's
     weights="DEFAULT" build) and 5 for scratch runs. Frozen layers'
     params receive zero updates (stop_gradient + decay mask); their BN
-    running stats still update, matching torch model.train()."""
+    running stats still update, matching torch model.train().
+
+    model_kwargs: extra FrcnnConfig fields (e.g. pre_nms_topk,
+    num_proposals, roi_batch — torchvision exposes the same knobs as
+    fasterrcnn_resnet50_fpn_v2 kwargs). Proposal/sample counts don't
+    change the parameter tree, so checkpoints stay interchangeable with
+    default-config runs; blocks= does change it."""
     import contextlib
 
     from ..models.layers import bn_dtype_scope
@@ -319,13 +326,13 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
         return _train_impl(cfg, data_root, out_dir, augment, epochs,
                            img_size, batch_size, max_steps, max_boxes,
                            val_interval, pretrained, model_dtype,
-                           allow_pickle, trainable_layers)
+                           allow_pickle, trainable_layers, model_kwargs)
 
 
 def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
                 batch_size, max_steps, max_boxes, val_interval,
                 pretrained, model_dtype, allow_pickle=False,
-                trainable_layers=5) -> dict:
+                trainable_layers=5, model_kwargs=None) -> dict:
     from ..models import resnet as resnet_lib
 
     out_dir = Path(out_dir)
@@ -335,7 +342,8 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
 
     samples = pipe.index_coco(data_root, "train")
     steps_per_epoch = max(1, len(samples) // batch_size)
-    fcfg = F.FrcnnConfig(trainable_layers=trainable_layers)
+    fcfg = F.FrcnnConfig(trainable_layers=trainable_layers,
+                         **(model_kwargs or {}))
     model = F.FasterRCNN(fcfg, dtype=model_dtype)
     tx, sched = make_optimizer(
         steps_per_epoch=steps_per_epoch,

@@ -52,7 +52,13 @@ def test_frcnn_train_resume(tmp_path):
                            mesh=MeshConfig(data=1, model=1))
     out = tmp_path / "run"
     kwargs = dict(augment=False, epochs=2, img_size=64, batch_size=2,
-                  max_boxes=16)
+                  max_boxes=16,
+                  # small proposal/sample counts: the sequential NMS/top-k
+                  # loops at default counts run ~100x slower on the CPU
+                  # mesh; counts don't change the param tree, so resume/
+                  # load_checkpoint semantics are identical
+                  model_kwargs=dict(pre_nms_topk=64, num_proposals=32,
+                                    roi_batch=32, rpn_batch=32))
     TF.train(cfg, tmp_path / "coco", out, max_steps=1, **kwargs)
     TF.train(cfg, tmp_path / "coco", out, **kwargs)
     hist = artifacts.read_jsonl(out / "history.jsonl")

@@ -176,8 +176,11 @@ def main():
             def body(carry, _):
                 xp = jax.tree.map(lambda a: a + carry * 1e-30, x)
                 out = g(state.params, xp)
-                leaf = jax.tree.leaves(out)[0]
-                return jnp.sum(leaf.astype(jnp.float32)) * 1e-20, ()
+                # sum EVERY grad leaf — touching only one lets XLA DCE
+                # the other weight-grad matmuls (the r2 dedup trap)
+                s = sum(jnp.sum(l.astype(jnp.float32))
+                        for l in jax.tree.leaves(out))
+                return s * 1e-20, ()
             c, _ = jax.lax.scan(body, jnp.float32(0), None,
                                 length=args.n)
             return c
@@ -185,6 +188,144 @@ def main():
         t0 = time.time()
         jax.device_get(chain(x))
         dt = (time.time() - t0) / args.n
+    elif args.mode == "stemops":
+        # Decompose HGStem: time each sub-op fwd+bwd separately.
+        from robust_object_detection_tpu.models.layers import ConvBnAct
+        s = args.img
+        ops = [
+            ("stem1 3x3s2 3->32 @%d" % s,
+             R.ConvBnAct if False else ConvBnAct,
+             dict(features=32, kernel=3, stride=2, act_fn=jax.nn.relu,
+                  dtype=dtype), (s, s, 3), False),
+            ("stem2a 2x2 32->16 @%d" % (s // 2), R.Conv2x2Pad,
+             dict(features=16, dtype=dtype), (s // 2, s // 2, 32), True),
+            ("stem2b 2x2 16->32 @%d" % (s // 2), R.Conv2x2Pad,
+             dict(features=32, dtype=dtype), (s // 2, s // 2, 16), True),
+            ("pool 2x2s1 @%d" % (s // 2), None, None,
+             (s // 2, s // 2, 32), True),
+            ("stem3 3x3s2 64->32 @%d" % (s // 2), ConvBnAct,
+             dict(features=32, kernel=3, stride=2, act_fn=jax.nn.relu,
+                  dtype=dtype), (s // 2, s // 2, 64), True),
+            ("stem4 1x1 32->48 @%d" % (s // 4), ConvBnAct,
+             dict(features=48, kernel=1, act_fn=jax.nn.relu, dtype=dtype),
+             (s // 4, s // 4, 32), True),
+        ]
+        rngs = np.random.RandomState(0)
+        for name, cls, kw, shp, need_dx in ops:
+            x = jnp.asarray(rngs.rand(args.bs, *shp).astype(np.float32))
+            if cls is None:
+                def fwd(params, x):
+                    b = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                    from flax import linen as fnn
+                    y = fnn.max_pool(b, (2, 2), strides=(1, 1),
+                                     padding="VALID")
+                    return jnp.sum(y.astype(jnp.float32))
+                params = {}
+            else:
+                mod = cls(**kw)
+                with bn_dtype_scope(dtype):
+                    v = mod.init(jax.random.key(0),
+                                 jnp.zeros((1, 32, 32, shp[-1])), True)
+
+                def fwd(params, x, mod=mod,
+                        stats=v.get("batch_stats", {})):
+                    with bn_dtype_scope(dtype):
+                        out, _ = mod.apply(
+                            {"params": params, "batch_stats": stats},
+                            x, True, mutable=["batch_stats"])
+                    return jnp.sum(out.astype(jnp.float32))
+                params = v["params"]
+            g = jax.grad(fwd, argnums=(0, 1) if need_dx else (0,))
+
+            @jax.jit
+            def chain(params, x, g=g):
+                def body(carry, _):
+                    grads = g(params, x + carry * 1e-30)
+                    sm = sum(jnp.sum(l.astype(jnp.float32))
+                             for l in jax.tree.leaves(grads))
+                    return sm * 1e-20, ()
+                c, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                    length=args.n)
+                return c
+            jax.device_get(chain(params, x))
+            t0 = time.time()
+            jax.device_get(chain(params, x))
+            dt_s = (time.time() - t0) / args.n
+            print(f"  {name}: {dt_s*1000:.2f} ms fwd+bwd (bs={args.bs})")
+        return
+    elif args.mode == "stemcut":
+        # Cumulative-prefix bisection of HGStem IN-GRAPH: where does the
+        # composed cost live (isolated op sums don't explain it).
+        from robust_object_detection_tpu.models.layers import ConvBnAct
+        from flax import linen as fnn
+
+        from typing import Any as _Any
+
+        class StemPrefix(fnn.Module):
+            upto: int
+            dtype2: _Any
+
+            @fnn.compact
+            def __call__(self, x, train=False):
+                d = self.dtype2
+                x = ConvBnAct(32, 3, 2, act_fn=jax.nn.relu, dtype=d,
+                              name="stem1")(x, train)
+                if self.upto == 1:
+                    return x
+                a = R.Conv2x2Pad(16, dtype=d, name="stem2a")(x, train)
+                a = R.Conv2x2Pad(32, dtype=d, name="stem2b")(a, train)
+                if self.upto == 2:
+                    return a
+                bh, hh, ww, cc = x.shape
+                bp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                b = jnp.maximum(
+                    jnp.maximum(bp[:, :hh, :ww], bp[:, 1:, :ww]),
+                    jnp.maximum(bp[:, :hh, 1:], bp[:, 1:, 1:]))
+                x = jnp.concatenate([b, a], -1)
+                if self.upto == 3:
+                    return x
+                x = ConvBnAct(32, 3, 2, act_fn=jax.nn.relu, dtype=d,
+                              name="stem3")(x, train)
+                if self.upto == 4:
+                    return x
+                return ConvBnAct(48, 1, act_fn=jax.nn.relu, dtype=d,
+                                 name="stem4")(x, train)
+
+        x0 = jnp.asarray(np.random.RandomState(0).rand(
+            args.bs, args.img, args.img, 3).astype(np.float32))
+        for upto in (1, 2, 3, 4, 5):
+            mod = StemPrefix(upto, dtype)
+            with bn_dtype_scope(dtype):
+                v = mod.init(jax.random.key(0),
+                             jnp.zeros((1, 64, 64, 3)), True)
+
+            def fwd(params, xx, mod=mod, stats=v.get("batch_stats", {})):
+                with bn_dtype_scope(dtype):
+                    out, _ = mod.apply(
+                        {"params": params, "batch_stats": stats}, xx, True,
+                        mutable=["batch_stats"])
+                return out
+            g = jax.grad(lambda p, xx: jnp.sum(
+                fwd(p, xx).astype(jnp.float32)), argnums=(0,))
+
+            @jax.jit
+            def chain(params, xx, g=g):
+                def body(carry, _):
+                    grads = g(params, xx + (carry * 1e-30)
+                              .astype(xx.dtype))
+                    s = sum(jnp.sum(l.astype(jnp.float32))
+                            for l in jax.tree.leaves(grads))
+                    return s * 1e-20, ()
+                c, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                    length=args.n)
+                return c
+            jax.device_get(chain(v["params"], x0))
+            t0 = time.time()
+            jax.device_get(chain(v["params"], x0))
+            dt_s = (time.time() - t0) / args.n
+            print(f"  stem upto {upto}: {dt_s*1000:.1f} ms fwd+bwd "
+                  f"(bs={args.bs})")
+        return
     elif args.mode == "bbstages":
         # Per-stage backbone fwd+bwd: each stage timed as its own chained
         # jitted grad fn on correctly-shaped random inputs.
@@ -221,14 +362,18 @@ def main():
                         {"params": params, "batch_stats": stats}, x, True,
                         mutable=["batch_stats"])
                 return jnp.sum(out.astype(jnp.float32))
-            g = jax.grad(fwd, argnums=(0, 1))   # param + input grads, as
-            #                                     the real net needs both
+            # the stem never needs d/dimage in the real net (the image is
+            # a constant w.r.t. params); every later stage does need its
+            # input gradient (it feeds the previous stage's param grads)
+            g = jax.grad(fwd, argnums=(0,) if name == "stem" else (0, 1))
 
             @jax.jit
             def chain(params, x):
                 def body(carry, _):
-                    dp, dx = g(params, x + carry * 1e-30)
-                    return jnp.sum(dx.astype(jnp.float32)) * 1e-20, ()
+                    grads = g(params, x + carry * 1e-30)
+                    s = sum(jnp.sum(l.astype(jnp.float32))
+                            for l in jax.tree.leaves(grads))
+                    return s * 1e-20, ()
                 c, _ = jax.lax.scan(body, jnp.float32(0), None,
                                     length=args.n)
                 return c
@@ -254,8 +399,8 @@ def main():
             loss, _ = TR.rtdetr_loss(outs, gb, gc, args.img)
             return loss
         f = (lf if args.mode == "loss" else
-             lambda o: jax.tree.leaves(jax.grad(lf)(o))[0]
-             .astype(jnp.float32).sum())
+             lambda o: sum(jnp.sum(l.astype(jnp.float32))
+                           for l in jax.tree.leaves(jax.grad(lf)(o))))
 
         @jax.jit
         def chain(outs):

@@ -89,7 +89,7 @@ def bench_sweep() -> dict:
         stages = {}
         t0 = time.time()
         ts.build_coco_testsets(base / "proc" / "visdrone_coco6",
-                               base / "testsets")
+                               base / "testsets", timer=timer)
         stages["build_testsets_s"] = time.time() - t0
         t1 = time.time()
         restore.restore_testsets(base / "testsets", root / "unet",
@@ -122,7 +122,8 @@ def bench_sweep() -> dict:
     # >10 GB/s (vs the tunnel's tens of MB/s) and vanish from the wall.
     tunnel_s = sum(decomp.get(k, {}).get("total_s", 0.0)
                    for k in ("eval/h2d", "eval/d2h", "restore/fetch",
-                             "restore/dispatch"))
+                             "restore/dispatch", "build/dispatch",
+                             "build/fetch"))
     eval_batches = decomp.get("eval/h2d", {}).get("count", 0)
     h2d_bytes = eval_batches * EVAL_BS * IMG_SIZE * IMG_SIZE * 3
     h2d_s = decomp.get("eval/h2d", {}).get("total_s", 0.0)
@@ -144,9 +145,12 @@ def bench_sweep() -> dict:
             "projected_real_host_images_per_sec": round(projected, 2),
             "note": "fenced decomposition run measures each stage with a "
                     "device fetch barrier; 'projected' removes only the "
-                    "measured H2D/D2H transfer+sync time (local-PCIe "
+                    "measured H2D/D2H transfer+sync time across the "
+                    "build/restore/eval device round trips (local-PCIe "
                     "hosts move these buffers >100x faster than the axon "
-                    "tunnel)"}
+                    "tunnel; the dispatch stages include the device "
+                    "compute itself, which the fenced eval/device_compute "
+                    "stage bounds at ~1.2 s of the removed total)"}
 
 
 def main() -> None:

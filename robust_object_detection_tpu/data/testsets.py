@@ -93,8 +93,16 @@ def _lowres_fn(h: int, w: int, c: int, factor: float):
 
 
 def make_corruptors(cfg: CorruptionConfig, rng: np.random.RandomState,
+                    timer=None,
                     ) -> Dict[str, Callable[[np.ndarray], np.ndarray]]:
-    """Variant name -> uint8 HWC -> uint8 HWC corruption fn."""
+    """Variant name -> uint8 HWC -> uint8 HWC corruption fn.
+
+    timer: optional core.profiling.StageTimer. Blur/lowres run on the
+    device, so each call is an H2D + tiny compute + D2H round trip; the
+    dispatch/fetch split lets the sweep bench attribute the transfer cost
+    (dominant through the axon tunnel, negligible over local PCIe)."""
+    from ..core.profiling import StageTimer
+    timer = timer if timer is not None else StageTimer()
 
     def clean(img: np.ndarray) -> np.ndarray:
         return img
@@ -105,19 +113,26 @@ def make_corruptors(cfg: CorruptionConfig, rng: np.random.RandomState,
         # The reference adds the draw to a cv2 BGR array; img here is RGB,
         # so reverse the draw's channel axis to land each noise channel on
         # the same physical colour plane.
-        n = rng.normal(0.0, cfg.noise_sigma, img.shape).astype(np.float32)
-        x = img.astype(np.float32) + n[..., ::-1]
-        return np.clip(x, 0, 255).astype(np.uint8)
+        with timer.stage("build/host_noise"):
+            n = rng.normal(0.0, cfg.noise_sigma, img.shape).astype(np.float32)
+            x = img.astype(np.float32) + n[..., ::-1]
+            return np.clip(x, 0, 255).astype(np.uint8)
 
     def blur(img: np.ndarray) -> np.ndarray:
         h, w, c = img.shape
         f = _blur_fn(h, w, c, cfg.blur_kernel, cfg.blur_angle_deg)
-        return np.asarray(f(img))
+        with timer.stage("build/dispatch"):
+            r = f(img)
+        with timer.stage("build/fetch"):
+            return np.asarray(r)
 
     def lowres(img: np.ndarray) -> np.ndarray:
         h, w, c = img.shape
         f = _lowres_fn(h, w, c, cfg.downscale_factor)
-        return np.asarray(f(img))
+        with timer.stage("build/dispatch"):
+            r = f(img)
+        with timer.stage("build/fetch"):
+            return np.asarray(r)
 
     return {"Test_Clean": clean, "Test_Noise": noise, "Test_Blur": blur,
             "Test_LowRes": lowres}
@@ -218,13 +233,14 @@ def build_yolo_testsets(yolo_root: str | Path, out_root: str | Path,
 def build_coco_testsets(coco_root: str | Path, out_root: str | Path,
                         cfg: CorruptionConfig = CorruptionConfig(),
                         seed: int = SEED,
-                        rng: np.random.RandomState | None = None) -> None:
+                        rng: np.random.RandomState | None = None,
+                        timer=None) -> None:
     """COCO-layout frozen testsets (build_corrupted_testsets.py:129-166)."""
     coco_root, out_root = Path(coco_root), Path(out_root)
     src_imgs = _list_images(coco_root / "images" / "val")
     ann = coco_root / "annotations" / "instances_val.json"
     rng = np.random.RandomState(seed) if rng is None else rng
-    fns = make_corruptors(cfg, rng)
+    fns = make_corruptors(cfg, rng, timer=timer)
     for variant in VARIANTS:
         vdir = out_root / "coco6" / variant
         img_out = vdir / "images" / "val"

@@ -86,6 +86,26 @@ def pairwise_iou_xywh_coco(a: jax.Array, b: jax.Array,
     return inter / jnp.maximum(union, 1e-9)
 
 
+def pairwise_giou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """GIoU matrix between (..., M, 4) and (..., N, 4) xyxy -> (..., M, N).
+
+    Component-wise like pairwise_iou: broadcasting the elementwise giou()
+    to (M, N) shapes routes every min/max through (M, N, 2) intermediates,
+    which TPU tiling pads 2 -> 128 lanes (64x HBM). All intermediates
+    here stay (M, N)."""
+    ax1, ay1, ax2, ay2 = (a[..., :, None, i] for i in range(4))
+    bx1, by1, bx2, by2 = (b[..., None, :, i] for i in range(4))
+    iw = jnp.maximum(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0.0)
+    ih = jnp.maximum(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0.0)
+    inter = iw * ih
+    union = area(a)[..., :, None] + area(b)[..., None, :] - inter
+    iou = inter / jnp.maximum(union, 1e-9)
+    ew = jnp.maximum(bx2, ax2) - jnp.minimum(bx1, ax1)
+    eh = jnp.maximum(by2, ay2) - jnp.minimum(by1, ay1)
+    earea = jnp.maximum(ew, 0.0) * jnp.maximum(eh, 0.0)
+    return iou - (earea - union) / jnp.maximum(earea, 1e-9)
+
+
 def iou_elementwise(a: jax.Array, b: jax.Array) -> jax.Array:
     """Elementwise IoU between aligned (..., 4) xyxy boxes."""
     lt = jnp.maximum(a[..., :2], b[..., :2])

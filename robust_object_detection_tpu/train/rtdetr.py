@@ -150,11 +150,13 @@ def hungarian_match(logits: jax.Array, boxes: jax.Array,
                                dtype=logits.dtype)             # (B, M, nc)
     cls_sel = jnp.einsum("bqc,bmc->bqm", pos - neg, gt_onehot)
 
-    l1 = jnp.abs(boxes[:, :, None, :] - gtb[:, None, :, :]).sum(-1)
+    # component-wise pairwise L1: a broadcast (B, Q, M, 4) intermediate
+    # pads its trailing 4 to 128 lanes on TPU (32x HBM traffic)
+    l1 = sum(jnp.abs(boxes[:, :, None, i] - gtb[:, None, :, i])
+             for i in range(4))
     qx = _cxcywh_to_xyxy(boxes)
     gx = _cxcywh_to_xyxy(gtb)
-    giou = jax.vmap(lambda a_, b_: box_ops.giou(a_[:, None], b_[None]))(
-        qx, gx)                                                # (B, Q, M)
+    giou = box_ops.pairwise_giou(qx, gx)                       # (B, Q, M)
     cost = W_CLASS * cls_sel + W_L1 * l1 + W_GIOU * (-giou)
     cost = jnp.where(valid[:, None, :], cost, BIG)
 
@@ -182,9 +184,12 @@ def hungarian_match(logits: jax.Array, boxes: jax.Array,
             cost, valid, max_rounds=AUCTION_MAX_ROUNDS)
     else:
         gt_for_query = solve_to_gt_for_query(method == "hungarian")
-    iou = jax.vmap(box_ops.pairwise_iou)(qx, gx)               # (B, Q, M)
-    iou_q = jnp.take_along_axis(
-        iou, jnp.maximum(gt_for_query, 0)[..., None], 2)[..., 0]
+    # IoU only for the matched pair: gather each query's GT box, then
+    # elementwise IoU — the full (B, Q, M) pairwise matrix was computed
+    # just to read one column per query
+    tgt_x = jnp.take_along_axis(gx, jnp.maximum(gt_for_query, 0)[..., None],
+                                1)                             # (B, Q, 4)
+    iou_q = box_ops.iou_elementwise(qx, tgt_x)
     iou_q = jnp.where(gt_for_query >= 0, iou_q, 0.0)
     return gt_for_query, iou_q, {"cost": cost, "capped": capped}
 

@@ -165,6 +165,35 @@ def main():
         dtm = timed(g, (v["params"], x), args.n)
         print(f"{args.exp}: {dtm*1000:.2f} ms fwd+bwd (bs={args.bs})")
         return
+    elif args.exp.startswith("bgrp"):
+        # Batch-folded grouped conv: (B, H, W, C) convs at C << 128 waste
+        # lanes (48 -> padded 128 = 2.7x HBM). Reshape batch into channels
+        # -> (1, H, W, B*C) with feature_group_count=B: per-image math is
+        # identical (groups don't mix), but every tensor fills its lanes.
+        cases = {
+            "bgrp_stage1": ((args.bs, 256, 256, 48), (3, 3, 48, 48), 1),
+            "bgrp_stem3": ((args.bs, 512, 512, 64), (3, 3, 64, 32), 2),
+        }
+        (bsh, ksh, stride) = cases[args.exp]
+        b, h, w, c = bsh
+        co = ksh[-1]
+        x = jnp.asarray(rng.rand(*bsh), bf)
+        k = jnp.asarray(rng.randn(*ksh) * 0.1, bf)
+
+        xf = jnp.asarray(np.transpose(np.asarray(x, np.float32),
+                                      (1, 2, 0, 3)).reshape(1, h, w, b * c),
+                         bf)     # pre-folded: a real impl folds once per stage
+
+        def fwd(xx, kk):
+            kf = jnp.tile(kk, (1, 1, 1, b))     # HWIO, groups tile O
+            return jax.lax.conv_general_dilated(
+                xx, kf, (stride, stride), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=b)
+        g = jax.grad(
+            lambda xx, kk: jnp.sum(fwd(xx, kk).astype(jnp.float32)),
+            argnums=(0, 1))
+        dt = timed(g, (xf, k), args.n)
     elif args.exp == "stem4_mm":
         x = jnp.asarray(rng.rand(args.bs, 256, 256, 32), bf)
         k = jnp.asarray(rng.randn(32, 48) * 0.1, bf)

@@ -109,7 +109,16 @@ class HGStem(nn.Module):
     [2x2-pool path | stem2a/stem2b 2x2-conv path] -> concat(pool, conv) ->
     3x3/2 -> 1x1. The 2x2 convs use the symmetric embedding (Conv2x2Pad);
     the 2x2 stride-1 ceil-mode pool becomes a right/bottom-padded max-pool
-    (equivalent for the ReLU'd, hence non-negative, stem1 output)."""
+    (equivalent for the ReLU'd, hence non-negative, stem1 output).
+
+    Negative result (r3, device-traced): reformulating stem1 as a
+    space-to-depth K=48 matmul (to dodge XLA's space-to-batch conv path,
+    whose batch-minor relayout copies cost ~2.5 ms) is in-situ NEUTRAL —
+    XLA materialises the pad (2.5 ms) and the 6-D s2d transpose (3.2 ms)
+    as real data-formatting ops, exactly offsetting the conv win. The
+    small-channel stem cost is layout-bound either way; fixing it needs a
+    fused kernel that never round-trips padded NHWC tiles, not another
+    XLA-level algebraic identity."""
     cm: int = 32
     out: int = 48
     dtype: Any = jnp.float32

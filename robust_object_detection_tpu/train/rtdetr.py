@@ -88,15 +88,21 @@ def _solve_assignment(cost: jax.Array, exact: bool = False):
 # rationale are in that module's docstrings.
 _auction_assignment = assignment.auction_assignment_ref
 
-AUCTION_MAX_ROUNDS = 48
-# Round cap: the trained regime converges in 5-15 rounds (measured,
-# detection-shaped costs at (300 queries, <=120 GTs)); only the contended
-# early-training / dense-GT regime ever runs longer, and there the capped
-# images fall back to the from-scratch greedy solve anyway (within ~10%
-# of optimal cost, test_greedy_close_to_hungarian) with the cap surfaced
-# as the matcher_capped metric. 48 = 3x the converged worst case; at the
-# old cap of 150 a random-init train step burned ~20 ms/step in auction
-# rounds that ended in the same greedy fallback.
+AUCTION_MAX_ROUNDS = 16
+# Round cap: differentiated (trained-regime) costs converge in 3-15
+# rounds (measured, detection-shaped costs at (300 queries, <=120 GTs)).
+# The regimes that run longer are near-TIED costs — random-init outputs
+# or crowded duplicates — where measured convergence needs 100s-1000s of
+# rounds at ANY eps (eps-scaling included: 105-316 rounds on synthetic
+# tie batches), and where every maximal matching is within ~1% of the
+# Hungarian optimum anyway (ties = interchangeable queries), so capped
+# images fall back to the from-scratch greedy solve
+# (test_greedy_close_to_hungarian) with the cap surfaced as the
+# matcher_capped metric. 16 = converged worst case + margin; each round
+# is a ~33 us (B, M, Q) sweep on v5e, so the cap bounds the wasted
+# pre-fallback work at ~0.5 ms/matching (a device trace of the
+# random-init profile batch showed 48-round whiles at 1.6 ms x 7
+# matchings ending in the same fallback).
 
 
 def to_norm_cxcywh(boxes_xyxy: jax.Array, img_size: float) -> jax.Array:

@@ -108,9 +108,12 @@ def test_auction_matches_hungarian_cost():
         cost_j = jnp.asarray(np.where(valid[None], cost, TR.BIG)[None]
                              .astype(np.float32))
         owner, capped = jax.jit(lambda c: TR._auction_assignment(
-            c, jnp.asarray(valid[None])))(cost_j)
+            c, jnp.asarray(valid[None]),
+            max_rounds=TR.AUCTION_MAX_ROUNDS))(cost_j)
         owner = np.asarray(owner[0])
-        assert not bool(capped[0])      # normal regime never caps
+        # the normal (differentiated-cost) regime must converge WITHIN the
+        # production round cap — the cap exists for near-tied costs only
+        assert not bool(capped[0])
         matched = owner[owner >= 0]
         # one-to-one + only real gts + every real gt matched (n_real <= Q)
         assert len(set(matched.tolist())) == len(matched)

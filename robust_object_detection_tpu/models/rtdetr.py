@@ -104,6 +104,50 @@ class Conv2x2Pad(nn.Module):
         return relu(y)
 
 
+class _Kernel(nn.Module):
+    """Bare conv-kernel parameter with nn.Conv's exact path and init."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class _BNParams(nn.Module):
+    """flax BatchNorm's parameter/stat tree without its compute: lets the
+    fused stem kernel own the normalize while checkpoints and importers
+    see the identical BatchNorm_0 scale/bias + batch_stats mean/var."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        sc = self.param("scale", nn.initializers.ones, (self.features,))
+        bi = self.param("bias", nn.initializers.zeros, (self.features,))
+        rm = self.variable("batch_stats", "mean",
+                           lambda: jnp.zeros((self.features,)))
+        rv = self.variable("batch_stats", "var",
+                           lambda: jnp.ones((self.features,)))
+        return sc, bi, rm, rv
+
+
+class _ConvBNParams(nn.Module):
+    """Param holder matching ConvBnAct's tree (conv_scope='Conv_0') or
+    Conv2x2Pad's (conv_scope=None: kernel at the module root)."""
+    kshape: Tuple[int, ...]
+    conv_scope: Any = "Conv_0"
+
+    @nn.compact
+    def __call__(self):
+        if self.conv_scope:
+            k = _Kernel(self.kshape, name=self.conv_scope)()
+        else:
+            k = self.param("kernel", nn.initializers.lecun_normal(),
+                           self.kshape)
+        sc, bi, rm, rv = _BNParams(self.kshape[-1], name="BatchNorm_0")()
+        return k, sc, bi, rm, rv
+
+
 class HGStem(nn.Module):
     """PP-HGNetv2 stem, faithful to Ultralytics HGStem: 3x3/2 ->
     [2x2-pool path | stem2a/stem2b 2x2-conv path] -> concat(pool, conv) ->
@@ -111,44 +155,90 @@ class HGStem(nn.Module):
     the 2x2 stride-1 ceil-mode pool becomes a right/bottom-padded max-pool
     (equivalent for the ReLU'd, hence non-negative, stem1 output).
 
+    On TPU at supported sizes (H mult 64, W mult 256) the stem1..stem3
+    chain routes to the fused planes-layout Pallas op
+    (ops/pallas_stem.py): the XLA path's small-channel NHWC tensors are
+    4-42x lane-padded and its train-mode BatchNorms cost two full-tensor
+    passes each (~38 ms fwd+bwd of the 221 ms RT-DETR step at bs8/1024px,
+    device-traced, incl. ~6 ms of pure relayout copies). The parameter
+    tree is IDENTICAL in both paths, so checkpoints and torch importers
+    are unaffected.
+
     Negative result (r3, device-traced): reformulating stem1 as a
-    space-to-depth K=48 matmul (to dodge XLA's space-to-batch conv path,
-    whose batch-minor relayout copies cost ~2.5 ms) is in-situ NEUTRAL —
-    XLA materialises the pad (2.5 ms) and the 6-D s2d transpose (3.2 ms)
-    as real data-formatting ops, exactly offsetting the conv win. The
-    small-channel stem cost is layout-bound either way; fixing it needs a
-    fused kernel that never round-trips padded NHWC tiles, not another
-    XLA-level algebraic identity."""
+    space-to-depth K=48 matmul at the XLA level is in-situ NEUTRAL — XLA
+    materialises the pad (2.5 ms) and the 6-D s2d transpose (3.2 ms),
+    exactly offsetting the conv win. Only a kernel that never
+    round-trips padded NHWC tiles recovers the time."""
     cm: int = 32
     out: int = 48
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
+        from ..ops import pallas_stem as PS
+        use_fused = (PS.supported(x.shape)
+                     and (jax.default_backend() == "tpu" or PS._INTERPRET)
+                     and self.cm == 32)
+        if use_fused:
+            x = self._fused(x, train)
+        else:
+            x = self._xla(x, train)
+        x = ConvBnAct(self.out, 1, act_fn=relu, dtype=self.dtype,
+                      name="stem4")(x, train)
+        return x
+
+    def _xla(self, x, train):
         x = ConvBnAct(self.cm, 3, 2, act_fn=relu, dtype=self.dtype,
                       name="stem1")(x, train)
         a = Conv2x2Pad(self.cm // 2, dtype=self.dtype, name="stem2a")(
             x, train)
         a = Conv2x2Pad(self.cm, dtype=self.dtype, name="stem2b")(a, train)
-        # 2x2 stride-1 ceil-mode max pool as a max of FOUR SHIFTED VIEWS:
-        # reduce_window's backward lowers to select-and-scatter, which
-        # measured 18 ms fwd+bwd at (8, 512, 512, 32) on v5e; the shifted
-        # jnp.maximum chain is exact (max of maxes), elementwise, and
-        # fuses in both directions (~1 ms). Zero right/bottom pads are
-        # exact ceil-mode because x is ReLU'd (non-negative). The
-        # asymmetric-padded reduce-window form also crashes XLA's
-        # space_to_batch converter in the backward at small sizes.
+        # pool as max of four shifted views (see class docstring)
         bh, hh, ww, cc = x.shape
         bp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
         b = jnp.maximum(
             jnp.maximum(bp[:, :hh, :ww], bp[:, 1:, :ww]),
             jnp.maximum(bp[:, :hh, 1:], bp[:, 1:, 1:]))
         x = jnp.concatenate([b, a], -1)            # pool first (cat order)
-        x = ConvBnAct(self.cm, 3, 2, act_fn=relu, dtype=self.dtype,
-                      name="stem3")(x, train)
-        x = ConvBnAct(self.out, 1, act_fn=relu, dtype=self.dtype,
-                      name="stem4")(x, train)
-        return x
+        return ConvBnAct(self.cm, 3, 2, act_fn=relu, dtype=self.dtype,
+                         name="stem3")(x, train)
+
+    def _fused(self, x, train):
+        from ..models.layers import current_bn_dtype
+        from ..ops import pallas_stem as PS
+        cm = self.cm
+        k1, sc1, bi1, rm1, rv1 = _ConvBNParams((3, 3, 3, cm),
+                                               name="stem1")()
+        k2a, sc2a, bi2a, rm2a, rv2a = _ConvBNParams(
+            (2, 2, cm, cm // 2), conv_scope=None, name="stem2a")()
+        k2b, sc2b, bi2b, rm2b, rv2b = _ConvBNParams(
+            (2, 2, cm // 2, cm), conv_scope=None, name="stem2b")()
+        k3, sc3, bi3, rm3, rv3 = _ConvBNParams((3, 3, 2 * cm, cm),
+                                               name="stem3")()
+        if train:
+            y3, means, variances = PS.stem_fused(
+                x, k1, sc1, bi1, k2a, sc2a, bi2a, k2b, sc2b, bi2b, k3,
+                dtype=self.dtype)
+            m3, v3 = means[3], variances[3]
+            if not self.is_initializing():
+                mom = 0.97
+                for rm, rv, m, v in ((rm1, rv1, means[0], variances[0]),
+                                     (rm2a, rv2a, means[1], variances[1]),
+                                     (rm2b, rv2b, means[2], variances[2]),
+                                     (rm3, rv3, m3, v3)):
+                    rm.value = mom * rm.value + (1 - mom) * m
+                    rv.value = mom * rv.value + (1 - mom) * v
+        else:
+            means = (rm1.value, rm2a.value, rm2b.value, rm3.value)
+            variances = (rv1.value, rv2a.value, rv2b.value, rv3.value)
+            y3 = PS.stem_fused_inference(
+                x, k1, sc1, bi1, k2a, sc2a, bi2a, k2b, sc2b, bi2b, k3,
+                means, variances, dtype=self.dtype)
+            m3, v3 = means[3], variances[3]
+        # BN3 apply + ReLU (flax-exact: f32 normalize, cast to bn dtype)
+        yn = (y3.astype(jnp.float32) - m3) * jax.lax.rsqrt(v3 + PS.EPS)
+        yn = yn * sc3 + bi3
+        return relu(yn.astype(current_bn_dtype()))
 
 
 class HGBlock(nn.Module):

@@ -242,7 +242,16 @@ class HGStem(nn.Module):
 
 
 class HGBlock(nn.Module):
-    """n chained (Light)Convs, concat all taps, squeeze+excite 1x1 convs."""
+    """n chained (Light)Convs, concat all taps, squeeze+excite 1x1 convs.
+
+    For the dense (light=False, kernel=3) stage-1 configuration on TPU,
+    the whole block runs in PLANES layout (B, H, C, W): the 48-channel
+    NHWC tensors would be 2.7x lane-padded and cost ~24 ms fwd+bwd of the
+    RT-DETR step (bs8/1024px, device-traced). In planes, every tensor is
+    tile-compact; the 3x3 convs go through the Pallas planes kernel
+    (ops/pallas_conv.py) and the BN/ReLU/concat/1x1 work stays in XLA,
+    which handles the layout efficiently. Parameter tree is identical in
+    both paths (ConvBnAct_0..7/Conv_0 + BatchNorm_0)."""
     cm: int
     out: int
     kernel: int = 3
@@ -253,6 +262,15 @@ class HGBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        from ..ops import pallas_conv as PC
+        from ..ops import pallas_stem as PS
+        b, hh, ww, cin = x.shape
+        use_fused = (not self.light and self.kernel == 3
+                     and (jax.default_backend() == "tpu" or PS._INTERPRET)
+                     and cin == self.cm
+                     and PC.supported((b, hh, self.cm, ww)))
+        if use_fused:
+            return self._fused_planes(x, train)
         taps = [x]
         h = x
         for _ in range(self.n):
@@ -268,6 +286,61 @@ class HGBlock(nn.Module):
             y, train)                                       # squeeze
         y = ConvBnAct(self.out, 1, act_fn=relu, dtype=self.dtype)(
             y, train)                                       # excite
+        if self.shortcut and x.shape[-1] == self.out:
+            y = y + x
+        return y
+
+    def _bn_relu(self, y_planes, sc, bi, rm, rv, train):
+        """flax-BatchNorm-parity normalize + ReLU on (B, H, C, W): f32
+        fast-variance stats over (B, H, W), clamped; running update with
+        momentum 0.97; result cast to the bn compute dtype."""
+        from ..models.layers import current_bn_dtype
+        from ..ops.pallas_stem import EPS
+        yf = y_planes.astype(jnp.float32)
+        if train:
+            m = yf.mean((0, 1, 3))
+            v = jnp.maximum(0.0, (yf * yf).mean((0, 1, 3)) - m * m)
+            if not self.is_initializing():
+                mom = 0.97
+                rm.value = mom * rm.value + (1 - mom) * m
+                rv.value = mom * rv.value + (1 - mom) * v
+        else:
+            m, v = rm.value, rv.value
+        # exact flax association: mul = rsqrt(var+eps) * scale, then
+        # (x - mean) * mul + bias (grad parity chains through 8 BNs here;
+        # a different f32 association order amplifies to ~5% param grads)
+        mul = jax.lax.rsqrt(v + EPS) * sc
+        yn = (yf - m[:, None]) * mul[:, None] + bi[:, None]
+        return relu(yn.astype(current_bn_dtype()))
+
+    def _fused_planes(self, x, train):
+        from ..ops import pallas_conv as PC
+        cm, out = self.cm, self.out
+        convs = [_ConvBNParams((3, 3, cm, cm), name=f"ConvBnAct_{i}")()
+                 for i in range(self.n)]
+        sq = _ConvBNParams((1, 1, (self.n + 1) * cm, out // 2),
+                           name=f"ConvBnAct_{self.n}")()
+        ex = _ConvBNParams((1, 1, out // 2, out),
+                           name=f"ConvBnAct_{self.n + 1}")()
+        xp = x.transpose(0, 1, 3, 2).astype(self.dtype)  # (B, H, C, W)
+        taps = [xp]
+        h = xp
+        for (k, sc, bi, rm, rv) in convs:
+            y = PC.conv3x3_planes(h, k, self.dtype)
+            h = self._bn_relu(y, sc, bi, rm, rv, train)
+            taps.append(h)
+        cat = jnp.concatenate(taps, 2)                   # (B, H, 7cm, W)
+        k, sc, bi, rm, rv = sq
+        y = jnp.einsum("bhcw,cd->bhdw", cat.astype(self.dtype),
+                       k[0, 0].astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        y = self._bn_relu(y, sc, bi, rm, rv, train)      # squeeze
+        k, sc, bi, rm, rv = ex
+        y = jnp.einsum("bhcw,cd->bhdw", y.astype(self.dtype),
+                       k[0, 0].astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        y = self._bn_relu(y, sc, bi, rm, rv, train)      # excite
+        y = y.transpose(0, 1, 3, 2)                      # NHWC
         if self.shortcut and x.shape[-1] == self.out:
             y = y + x
         return y

@@ -142,3 +142,70 @@ def test_supported_gate():
     assert not PS.supported((8, 1024, 1000, 3))   # W not mult 256
     assert not PS.supported((8, 100, 1024, 3))    # H not mult 64
     assert not PS.supported((8, 64, 64, 3))       # W too small
+
+
+# ── planes conv3x3 + fused HGBlock (ops/pallas_conv.py) ──────────────────
+
+def test_conv3x3_planes_exact():
+    """The planes conv kernel and its VJP are exact vs lax.conv (f32)."""
+    from robust_object_detection_tpu.ops import pallas_conv as PC
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 8, 128), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 8, 16) * 0.3, jnp.float32)
+
+    def ref(x, k):
+        xn = x.transpose(0, 1, 3, 2)
+        y = jax.lax.conv_general_dilated(
+            xn, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y.transpose(0, 1, 3, 2)
+
+    y1 = PC.conv3x3_planes(x, k, jnp.float32)
+    np.testing.assert_allclose(y1, ref(x, k), atol=1e-5)
+    w = jnp.asarray(rng.randn(*y1.shape), jnp.float32)
+    g1 = jax.grad(lambda a, b: jnp.sum(
+        PC.conv3x3_planes(a, b, jnp.float32) * w), (0, 1))(x, k)
+    g2 = jax.grad(lambda a, b: jnp.sum(ref(a, b) * w), (0, 1))(x, k)
+    np.testing.assert_allclose(g1[0], g2[0], atol=1e-4)
+    np.testing.assert_allclose(g1[1], g2[1], atol=1e-3)
+
+
+def test_hgblock_fused_parity(monkeypatch):
+    """Fused (planes) HGBlock vs the NHWC flax path: identical tree,
+    matching outputs/stats; grads within the chain-amplification band
+    (6 normalize+relu boundaries amplify f32 noise; single layers are
+    exact to 1e-6 — see test_conv3x3_planes_exact)."""
+    from robust_object_detection_tpu.ops import pallas_conv as PC
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 128, 48), jnp.float32)
+    mod = R.HGBlock(48, 128, 3)
+    v_f = mod.init(jax.random.key(0), x, True)
+    v_x = mod.init(jax.random.key(0), jnp.zeros((1, 8, 9, 48)), True)
+    assert (jax.tree_util.tree_structure(v_f)
+            == jax.tree_util.tree_structure(v_x))
+
+    out_f, st_f = mod.apply(v_f, x, True, mutable=["batch_stats"])
+    sup = PC.supported
+    monkeypatch.setattr(PC, "supported", lambda s: False)
+    out_x, st_x = mod.apply(v_f, x, True, mutable=["batch_stats"])
+    monkeypatch.setattr(PC, "supported", sup)
+    scale = float(jnp.abs(out_x).max())
+    assert float(jnp.abs(out_f - out_x).max()) < 1e-2 * scale
+    for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_x)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+    def loss(params, fused):
+        if not fused:
+            monkeypatch.setattr(PC, "supported", lambda s: False)
+        out, _ = mod.apply(
+            {"params": params, "batch_stats": v_f["batch_stats"]},
+            x, True, mutable=["batch_stats"])
+        monkeypatch.setattr(PC, "supported", sup)
+        w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)
+        return jnp.sum(out * (w % 5 - 2))
+
+    gf = jax.grad(lambda p: loss(p, True))(v_f["params"])
+    gx = jax.grad(lambda p: loss(p, False))(v_f["params"])
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+        scale = float(jnp.abs(b).max()) + 1e-9
+        assert float(jnp.abs(a - b).max()) < 0.15 * scale

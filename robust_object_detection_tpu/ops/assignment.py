@@ -283,20 +283,28 @@ def _greedy_owner(cost: jax.Array, m: int) -> jax.Array:
     n_iter = jnp.minimum(n_assignable.max(), k)
 
     def per_image(c):
+        # retire rows/cols via BOOLEAN MASKS folded into the argmin pass:
+        # the cost matrix stays constant, so each iteration is ONE fused
+        # read (mask-add + argmin) instead of a read plus two full
+        # masked-write passes (measured 1.76 -> ~0.8 ms per capped
+        # matching at (300, 300) x bs8). Masked entries sit at c + BIG
+        # >= BIG/2, so the take guard and tie-breaks are unchanged.
         def body(_, s):
-            c_, owner = s
-            idx = jnp.argmin(c_.reshape(-1))
+            q_used, m_used, owner = s
+            masked = c + (q_used[:, None] | m_used[None, :]) * BIG
+            idx = jnp.argmin(masked.reshape(-1))
             qi = (idx // m).astype(jnp.int32)
             mi = (idx % m).astype(jnp.int32)
-            take = c_.reshape(-1)[idx] < BIG / 2
-            owner = jnp.where(
-                take & (jnp.arange(qn) == qi), mi, owner)
-            c_ = jnp.where(take, c_.at[qi, :].set(BIG).at[:, mi].set(BIG),
-                           c_)
-            return c_, owner
+            take = masked.reshape(-1)[idx] < BIG / 2
+            hit_q = take & (jnp.arange(qn) == qi)
+            owner = jnp.where(hit_q, mi, owner)
+            return (q_used | hit_q, m_used | (take & (jnp.arange(m) == mi)),
+                    owner)
 
-        _, owner = jax.lax.fori_loop(
-            0, n_iter, body, (c, jnp.full((qn,), -1, jnp.int32)))
+        _, _, owner = jax.lax.fori_loop(
+            0, n_iter, body,
+            (jnp.zeros((qn,), bool), jnp.zeros((m,), bool),
+             jnp.full((qn,), -1, jnp.int32)))
         return owner
 
     return jax.vmap(per_image)(cost)

@@ -87,3 +87,20 @@ def abstract_like(tree: Any) -> Any:
     return jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
         if hasattr(x, "shape") else x, tree)
+
+
+def abstract_init(model: Any, img_size: int = 64) -> Any:
+    """Shape/dtype skeleton of a Flax model's variable tree via eval_shape.
+
+    Checkpoint-restore targets don't need real values: running `model.init`
+    on the accelerator just to learn shapes costs a full init compile plus
+    per-tensor device round trips (several seconds through the axon tunnel
+    per model). eval_shape derives the identical tree with zero device work;
+    orbax then restores straight from disk and the caller moves the result
+    to the device in one batched `jax.device_put` (or lets jit do it).
+    """
+    import jax.numpy as jnp
+    return jax.eval_shape(
+        lambda: model.init(jax.random.key(0),
+                           jnp.zeros((1, img_size, img_size, 3),
+                                     jnp.float32), train=False))

@@ -75,7 +75,9 @@ def restore_images(apply_fn, variables, paths: List[Path],
             nonlocal n
             chunk, out_dev = inflight
             with timer.stage("restore/fetch"):
-                out = np.asarray(out_dev)          # uint8 (B, ph, pw, 3)
+                # fetch only the real rows (trailing chunks are padded to a
+                # full batch for shape stability)
+                out = np.asarray(out_dev[:len(chunk)])  # u8 (n, ph, pw, 3)
             with timer.stage("restore/encode"):
                 writes = []
                 for i, p in enumerate(chunk):
@@ -92,7 +94,11 @@ def restore_images(apply_fn, variables, paths: List[Path],
                 chunk = group[start:start + batch_size]
                 with timer.stage("restore/decode_pad"):
                     imgs = list(pool.map(_read, chunk))
-                    batch = np.zeros((len(chunk), ph, pw, 3), np.uint8)
+                    # always a FULL batch: a trailing partial chunk would
+                    # otherwise compile a second executable per shape group
+                    # (~20 s each on TPU); padded rows are sliced off after
+                    # the fetch
+                    batch = np.zeros((batch_size, ph, pw, 3), np.uint8)
                     for i, im in enumerate(imgs):
                         h, w = im.shape[:2]
                         # reflect-pad to the group's padded shape (uint8

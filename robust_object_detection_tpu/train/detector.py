@@ -353,8 +353,12 @@ def _ckpt_payload(state: DetTrainState) -> dict:
 def load_checkpoint(out_dir: str | Path, variant: str = "m",
                     img_size: int = 64):
     """Load a trained detector checkpoint -> (model, DetTrainState-like)."""
+    from ..core.checkpoint import abstract_init
     model = yolo_lib.create(6, variant)
-    variables = yolo_lib.init_variables(model, jax.random.key(0), img_size)
+    # eval_shape skeleton: no init compile / device round trips (the r3
+    # sweep decomposition found the device init costing seconds per model
+    # load through the axon tunnel)
+    variables = abstract_init(model, img_size)
     ckpt = CheckpointManager(out_dir)
     target = {"params": variables["params"],
               "batch_stats": variables["batch_stats"],
@@ -363,7 +367,8 @@ def load_checkpoint(out_dir: str | Path, variant: str = "m",
     if restored is None:
         # `last` carries the full resume payload (opt state + step)
         tx, _ = make_optimizer()
-        full = dict(target, opt_state=tx.init(variables["params"]),
+        full = dict(target,
+                    opt_state=jax.eval_shape(tx.init, variables["params"]),
                     step=jnp.asarray(0))
         latest = ckpt.restore_last(full)
         if latest is None:
@@ -371,6 +376,7 @@ def load_checkpoint(out_dir: str | Path, variant: str = "m",
             raise FileNotFoundError(f"no checkpoint under {out_dir}")
         restored = latest["state"]
     ckpt.close()
+    restored = jax.device_put(restored)     # one batched async transfer
     state = DetTrainState(restored["params"], restored["batch_stats"],
                           restored["ema_params"], None, jnp.asarray(0))
     return model, state

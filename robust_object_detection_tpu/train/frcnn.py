@@ -456,10 +456,10 @@ def load_checkpoint(out_dir: str | Path, img_size: int = 64,
 
 def _load_checkpoint_cfg(out_dir: str | Path, img_size: int,
                          cfg: F.FrcnnConfig):
+    from ..core.checkpoint import abstract_init
     model = F.FasterRCNN(cfg)
-    init = jax.jit(lambda k, x: model.init(k, x, train=False))
-    variables = init(jax.random.key(0),
-                     jnp.zeros((1, img_size, img_size, 3), jnp.float32))
+    # eval_shape skeleton: no init compile / device round trips
+    variables = abstract_init(model, img_size)
     target = {"params": variables["params"],
               "batch_stats": variables["batch_stats"]}
     ckpt = CheckpointManager(out_dir)
@@ -468,7 +468,9 @@ def _load_checkpoint_cfg(out_dir: str | Path, img_size: int,
         if restored is None:
             # `last` carries the full resume payload
             tx, _ = make_optimizer()
-            full = dict(target, opt_state=tx.init(variables["params"]),
+            full = dict(target,
+                        opt_state=jax.eval_shape(tx.init,
+                                                 variables["params"]),
                         step=jnp.asarray(0))
             latest = ckpt.restore_last(full)
             if latest is None:
@@ -476,6 +478,7 @@ def _load_checkpoint_cfg(out_dir: str | Path, img_size: int,
             restored = latest["state"]
     finally:
         ckpt.close()
+    restored = jax.device_put(restored)     # one batched async transfer
     return model, FrcnnTrainState(restored["params"],
                                   restored["batch_stats"], None,
                                   jnp.asarray(0))

@@ -647,9 +647,10 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
 
 def load_checkpoint(out_dir, img_size: int = 64):
     """Load a trained RT-DETR checkpoint -> (model, state)."""
-    from ..core.checkpoint import CheckpointManager
+    from ..core.checkpoint import CheckpointManager, abstract_init
     model = R.create(6)
-    variables = R.init_variables(model, jax.random.key(0), img_size)
+    # eval_shape skeleton: no init compile / device round trips
+    variables = abstract_init(model, img_size)
     target = {"params": variables["params"],
               "batch_stats": variables["batch_stats"],
               "ema_params": variables["params"]}
@@ -657,7 +658,8 @@ def load_checkpoint(out_dir, img_size: int = 64):
     restored = ckpt.restore_best(target)
     if restored is None:
         tx, _ = make_optimizer()
-        full = dict(target, opt_state=tx.init(variables["params"]),
+        full = dict(target,
+                    opt_state=jax.eval_shape(tx.init, variables["params"]),
                     step=jnp.asarray(0))
         latest = ckpt.restore_last(full)
         if latest is None:
@@ -665,6 +667,7 @@ def load_checkpoint(out_dir, img_size: int = 64):
             raise FileNotFoundError(f"no checkpoint under {out_dir}")
         restored = latest["state"]
     ckpt.close()
+    restored = jax.device_put(restored)     # one batched async transfer
     return model, RtdetrTrainState(restored["params"],
                                    restored["batch_stats"],
                                    restored["ema_params"], None,

@@ -34,7 +34,8 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import deform
-from .layers import ConvBnAct
+from .layers import (ConvBnAct, _BNParams, _ConvBNParams,
+                     _Kernel)
 
 relu = nn.relu
 
@@ -102,50 +103,6 @@ class Conv2x2Pad(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=current_bn_dtype())(y)
         return relu(y)
-
-
-class _Kernel(nn.Module):
-    """Bare conv-kernel parameter with nn.Conv's exact path and init."""
-    shape: Tuple[int, ...]
-
-    @nn.compact
-    def __call__(self):
-        return self.param("kernel", nn.initializers.lecun_normal(),
-                          self.shape)
-
-
-class _BNParams(nn.Module):
-    """flax BatchNorm's parameter/stat tree without its compute: lets the
-    fused stem kernel own the normalize while checkpoints and importers
-    see the identical BatchNorm_0 scale/bias + batch_stats mean/var."""
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        sc = self.param("scale", nn.initializers.ones, (self.features,))
-        bi = self.param("bias", nn.initializers.zeros, (self.features,))
-        rm = self.variable("batch_stats", "mean",
-                           lambda: jnp.zeros((self.features,)))
-        rv = self.variable("batch_stats", "var",
-                           lambda: jnp.ones((self.features,)))
-        return sc, bi, rm, rv
-
-
-class _ConvBNParams(nn.Module):
-    """Param holder matching ConvBnAct's tree (conv_scope='Conv_0') or
-    Conv2x2Pad's (conv_scope=None: kernel at the module root)."""
-    kshape: Tuple[int, ...]
-    conv_scope: Any = "Conv_0"
-
-    @nn.compact
-    def __call__(self):
-        if self.conv_scope:
-            k = _Kernel(self.kshape, name=self.conv_scope)()
-        else:
-            k = self.param("kernel", nn.initializers.lecun_normal(),
-                           self.kshape)
-        sc, bi, rm, rv = _BNParams(self.kshape[-1], name="BatchNorm_0")()
-        return k, sc, bi, rm, rv
 
 
 class HGStem(nn.Module):

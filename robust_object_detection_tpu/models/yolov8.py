@@ -79,18 +79,31 @@ class Backbone(nn.Module):
         from ..ops import pallas_yolo_front as YF
         c = self.cfg.width
         d = self.cfg.depth
+        from ..ops import pallas_conv as PC
         from ..ops import pallas_stem as PS
         use_fused = (YF.supported(x.shape)
                      and (jax.default_backend() == "tpu" or PS._INTERPRET))
         if use_fused:
-            x = self._fused_front(x, c(64), c(128), train)           # P1+P2
+            # P1+P2 fused front emits PLANES (B, H/4, C, W/4); the first
+            # C2f runs in the same layout (planes_io) and the transpose
+            # to NHWC happens once, after it
+            xp = self._fused_front(x, c(64), c(128), train)
+            planes_c2f = PC.supported(
+                (xp.shape[0], xp.shape[1], c(128) // 2, xp.shape[3]))
+            if planes_c2f:
+                xp = C2f(c(128), d(3), True, dtype=self.dtype,
+                         planes_io=True, name="C2f_0")(xp, train)
+            x = xp.transpose(0, 1, 3, 2)                             # NHWC
+            if not planes_c2f:
+                x = C2f(c(128), d(3), True, dtype=self.dtype,
+                        name="C2f_0")(x, train)
         else:
             x = ConvBnAct(c(64), 3, 2, dtype=self.dtype,
                           name="ConvBnAct_0")(x, train)              # P1
             x = ConvBnAct(c(128), 3, 2, dtype=self.dtype,
                           name="ConvBnAct_1")(x, train)              # P2
-        x = C2f(c(128), d(3), True, dtype=self.dtype,
-                name="C2f_0")(x, train)
+            x = C2f(c(128), d(3), True, dtype=self.dtype,
+                    name="C2f_0")(x, train)
         x = ConvBnAct(c(256), 3, 2, dtype=self.dtype,
                       name="ConvBnAct_2")(x, train)                  # P3
         p3 = x = C2f(c(256), d(6), True, dtype=self.dtype,
@@ -107,8 +120,8 @@ class Backbone(nn.Module):
         return p3, p4, p5
 
     def _fused_front(self, x, c1, c2, train):
-        from ..models.layers import current_bn_dtype
-        from ..models.rtdetr import _ConvBNParams
+        """Returns the ACTIVATED P2 output in planes layout (B,H/4,c2,W/4)."""
+        from ..models.layers import _ConvBNParams, current_bn_dtype
         from ..ops import pallas_yolo_front as YF
         k1, sc1, bi1, rm1, rv1 = _ConvBNParams((3, 3, 3, c1),
                                                name="ConvBnAct_0")()
@@ -129,14 +142,13 @@ class Backbone(nn.Module):
                 (rv1.value, rv2.value), dtype=self.dtype)
             m2, v2 = rm2.value, rv2.value
         # BN2 + SiLU on the compact planes tensor (flax-alike: f32
-        # normalize, activation in the bn dtype), then NHWC
+        # normalize, activation in the bn dtype)
         from ..ops.pallas_stem import EPS
         g2 = sc2.astype(jnp.float32) * jax.lax.rsqrt(v2 + EPS)
         b2 = bi2.astype(jnp.float32) - m2 * g2
         z = (y2.astype(jnp.float32) * g2[None, None, :, None]
              + b2[None, None, :, None]).astype(current_bn_dtype())
-        a2 = nn.silu(z)
-        return a2.transpose(0, 1, 3, 2).astype(self.dtype)
+        return nn.silu(z).astype(self.dtype)
 
 
 class Neck(nn.Module):

@@ -102,7 +102,7 @@ def test_module_integration(monkeypatch):
     from robust_object_detection_tpu.models import yolov8 as Y
 
     rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.rand(1, 32, 512, 3), jnp.float32)
+    x = jnp.asarray(rng.rand(1, 64, 512, 3), jnp.float32)
     model = Y.Backbone(Y.YoloConfig(6, "n"))
     assert YF.supported(x.shape)
     v_fused = model.init(jax.random.key(0), x, True)

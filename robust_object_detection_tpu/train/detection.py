@@ -91,36 +91,43 @@ def task_aligned_assign(scores: jax.Array, pred_boxes: jax.Array,
     kth = top_vals[..., -1:]
     pos = mask & (metric >= kth) & (metric > 0)                  # (B, M, N)
 
-    # resolve multi-gt anchors: keep the gt with the highest IoU
-    n_assign = pos.sum(axis=1)                                   # (B, N)
-    iou_masked = jnp.where(pos, iou, -INF)
-    best_gt = jnp.argmax(iou_masked, axis=1)                     # (B, N)
-    keep_multi = jax.nn.one_hot(best_gt, m, axis=1, dtype=bool)  # (B, M, N)
-    pos = jnp.where((n_assign > 1)[:, None, :], pos & keep_multi, pos)
+    # The rest of the assigner is organised as THREE fused passes over
+    # the (B, M, N) tensors (device-traced: every extra pass here reads
+    # 0.4-0.8 GB at (16, 600, 21504), so passes — not FLOPs — are the
+    # cost model):
+    #   1. conflict resolution: per-anchor argmax of the masked IoU;
+    #   2. per-gt reductions: max metric / max IoU among positives;
+    #   3. per-anchor reductions: target box/class/score/fg in ONE
+    #      masked-sum pass (no gathers — TPU gathers serialise, the
+    #      take_along_axis formulation cost 5.5 ms/step).
 
-    fg_mask = pos.any(axis=1)                                    # (B, N)
-    target_gt = jnp.argmax(pos, axis=1)                          # (B, N)
+    # pass 1 — resolve multi-gt anchors: keep the gt with the highest
+    # IoU. `pos & one_hot(argmax)` is the general form: with a single
+    # positive the argmax IS that positive, with none the mask stays
+    # empty, so the n_assign>1 special-casing (an extra pass) is
+    # unnecessary.
+    best_gt = jnp.argmax(jnp.where(pos, iou, -INF), axis=1)      # (B, N)
+    pos = pos & jax.nn.one_hot(best_gt, m, axis=1, dtype=bool)
 
-    # normalised soft target scores: t_hat = t * (max_iou / max_t) per gt.
-    # After conflict resolution each anchor has at most ONE positive gt, so
-    # the per-anchor score is a max-reduction over M — no (B, M, N) gather.
+    # pass 2 — per-gt normalisers among the final positives
     pos_metric = jnp.where(pos, metric, 0.0)
-    pos_iou = jnp.where(pos, iou, 0.0)
     max_metric = pos_metric.max(axis=2, keepdims=True)           # (B, M, 1)
-    max_iou = pos_iou.max(axis=2, keepdims=True)
-    norm = pos_metric * max_iou / jnp.maximum(max_metric, 1e-9)  # (B, M, N)
-    anchor_score = norm.max(axis=1).astype(jnp.float32)          # (B, N)
+    max_iou = jnp.where(pos, iou, 0.0).max(axis=2, keepdims=True)
+    ratio = (max_iou / jnp.maximum(max_metric, 1e-9))            # (B, M, 1)
 
-    # per-anchor target box/class WITHOUT gathers: after conflict
-    # resolution `pos` has at most one positive gt per anchor, so a
-    # masked sum over M selects it exactly (f32, no quantisation). The
-    # take_along_axis gathers this replaces cost 5.5 ms/step at
-    # (16, 600, 21504) on v5e (device-traced — TPU gathers serialise);
-    # these are fused select+reduce passes over the pos mask.
-    def _pick(v):                                     # v: (B, M) f32
-        return jnp.sum(jnp.where(pos, v[..., None], 0.0), axis=1)
+    # pass 3 — per-anchor selections: after conflict resolution each
+    # anchor has at most ONE positive gt, so masked sums over M select
+    # exactly (f32, no quantisation). All six outputs fuse into one
+    # sweep of the mask.
+    def _pick(v):                                     # v: (B, M, [N])
+        v = v if v.ndim == 3 else v[..., None]
+        return jnp.sum(jnp.where(pos, v, 0.0), axis=1)
     tb = jnp.stack([_pick(gt_boxes[..., c]) for c in range(4)], -1)
     tc = _pick(gt_cls.astype(jnp.float32)).astype(jnp.int32)     # (B, N)
+    anchor_score = _pick(pos_metric * ratio).astype(jnp.float32)
+    fg_mask = _pick(jnp.ones((b, m, 1))) > 0                     # (B, N)
+    target_gt = _pick(jnp.arange(m, dtype=jnp.float32)[None, :, None]
+                      ).astype(jnp.int32)
     target_scores = (jax.nn.one_hot(tc, nc) *
                      (anchor_score * fg_mask)[..., None])
     return {"fg_mask": fg_mask,

@@ -65,11 +65,15 @@ def random_hsv(img: jax.Array, key: jax.Array, hgain: float = 0.015,
     (hue additive, wrap)."""
     b = img.shape[0]
     k1, k2, k3 = jax.random.split(key, 3)
-    dh = jax.random.uniform(k1, (b, 1, 1), minval=-hgain, maxval=hgain)
+    # gains cast to the image dtype so a bf16 augmentation chain stays
+    # bf16 (an f32 gain would promote every full-image op back to f32 —
+    # 2x the HBM traffic at (16, 1024, 1024, 3))
+    dh = jax.random.uniform(k1, (b, 1, 1), minval=-hgain,
+                            maxval=hgain).astype(img.dtype)
     ds = jax.random.uniform(k2, (b, 1, 1), minval=1 - sgain,
-                            maxval=1 + sgain)
+                            maxval=1 + sgain).astype(img.dtype)
     dv = jax.random.uniform(k3, (b, 1, 1), minval=1 - vgain,
-                            maxval=1 + vgain)
+                            maxval=1 + vgain).astype(img.dtype)
     hsv = rgb_to_hsv(img / 255.0)
     h = (hsv[..., 0] + dh) % 1.0
     s = jnp.clip(hsv[..., 1] * ds, 0.0, 1.0)

@@ -411,12 +411,15 @@ def make_train_step(model: R.RTDETR, tx, img_size: int,
     def step(state: RtdetrTrainState, images_u8, gt_boxes, gt_classes, key):
         k = jax.random.fold_in(key, state.step)
         k_corr, k_dn = jax.random.split(k)
-        x = images_u8.astype(jnp.float32)
+        # bf16 augmentation chain (see train/detector.py: halves the
+        # full-image HBM traffic; corruption kernel stays f32)
+        x = images_u8.astype(jnp.bfloat16)
         if base_augment:
             k_hsv, k_flip, k_corr = jax.random.split(k_corr, 3)
             x = aug.random_hsv(x, k_hsv)
             x, gt_boxes = aug.random_flip_lr(x, gt_boxes, gt_classes,
                                              k_flip)
+        x = x.astype(jnp.float32)
         if augment:
             x, _ = corrupt_ops.random_corruption_fast(x, k_corr, corruption)
         x = x / 255.0

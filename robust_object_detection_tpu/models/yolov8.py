@@ -106,6 +106,10 @@ class Backbone(nn.Module):
                     name="C2f_0")(x, train)
         x = ConvBnAct(c(256), 3, 2, dtype=self.dtype,
                       name="ConvBnAct_2")(x, train)                  # P3
+        # negative result (r3, measured): planes-mode C2f_1 at 128^2
+        # REGRESSES 160.6 -> 176.3 ms — the W=128 single-lane-tile rows
+        # starve the per-row kernel matmuls and the boundary transposes
+        # eat the smaller padding win (96ch is only 1.33x padded)
         p3 = x = C2f(c(256), d(6), True, dtype=self.dtype,
                      name="C2f_1")(x, train)
         x = ConvBnAct(c(512), 3, 2, dtype=self.dtype,

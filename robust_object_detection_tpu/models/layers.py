@@ -140,6 +140,21 @@ class _BNParams(nn.Module):
         return sc, bi, rm, rv
 
 
+class _DenseParams(nn.Module):
+    """nn.Dense's parameter tree (kernel/bias, same inits) without its
+    compute — for call sites that apply the projection in a custom
+    layout (e.g. transposed matmuls feeding Pallas kernels)."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class _ConvBNParams(nn.Module):
     """Param holder matching ConvBnAct's tree (conv_scope='Conv_0') or
     Conv2x2Pad's (conv_scope=None: kernel at the module root)."""

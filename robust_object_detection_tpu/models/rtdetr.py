@@ -34,7 +34,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import deform
-from .layers import (ConvBnAct, _BNParams, _ConvBNParams,
+from .layers import (ConvBnAct, _BNParams, _ConvBNParams, _DenseParams,
                      _Kernel)
 
 relu = nn.relu
@@ -471,7 +471,6 @@ class MSDeformAttn(nn.Module):
         n_h, n_l, n_p = cfg.heads, cfg.levels, cfg.points
         dh = c // n_h
 
-        value_proj = nn.Dense(c, dtype=self.dtype, name="value_proj")
         offsets = nn.Dense(n_h * n_l * n_p * 2,
                            kernel_init=nn.initializers.zeros,
                            bias_init=_offset_bias_init(n_h, n_l, n_p),
@@ -486,13 +485,25 @@ class MSDeformAttn(nn.Module):
         ref_wh = ref_boxes[..., None, None, None, 2:]
         loc = ref_xy + offsets / n_p * ref_wh * 0.5     # normalised [0,1]
 
-        # fused multi-scale core: project each level, concat the flat maps,
-        # and run the one-kernel gather/weight/reduce (ops/deform.py)
+        # fused multi-scale core: project each level, concat the flat
+        # maps, and run the one-kernel gather/weight/reduce
+        # (ops/deform.py). The projection is computed TRANSPOSED —
+        # kernel^T @ memory^T emits (B, C, HW) natively, which is exactly
+        # the v^T layout the Pallas kernels consume; the memory^T inputs
+        # are identical across the 6 decoder layers, so XLA CSE keeps ONE
+        # transpose for the whole decoder instead of a relayout copy per
+        # layer per direction (~3 ms/step at bs8/1024px, device-traced).
+        kv, bv = _DenseParams(c, c, name="value_proj")()
         shapes = tuple((f.shape[1], f.shape[2]) for f in value_levels)
-        values = jnp.concatenate(
-            [value_proj(f.reshape(b, -1, c)) for f in value_levels], 1
-        ).reshape(b, -1, n_h, dh)
-        out = deform.ms_deform_attn(values, shapes, loc, attn)
+        kvt = kv.astype(self.dtype)
+        values_t = (jnp.concatenate(
+            [jnp.einsum("cd,bcn->bdn", kvt,
+                        f.reshape(b, -1, c).transpose(0, 2, 1
+                                                      ).astype(self.dtype))
+             for f in value_levels], -1)
+            + bv.astype(self.dtype)[None, :, None]
+        ).reshape(b, n_h, dh, -1)
+        out = deform.ms_deform_attn_t(values_t, shapes, loc, attn)
         out = out.reshape(b, q, c)
         return nn.Dense(c, dtype=self.dtype, name="output_proj")(out)
 

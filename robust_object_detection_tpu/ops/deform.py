@@ -319,10 +319,18 @@ def _ms_deform_attn_tpu(shapes, values, loc, attn):
     return out
 
 
-def _sorted_taps(shapes, values, loc, attn, t_pad, hw_pad):
+def _sorted_taps(shapes, values, loc, attn, t_pad, hw_pad,
+                 values_t=None):
     """Sort taps by merged cell index per (b*head) row; returns the sorted
-    (idx, c, qof, pos) plus per-chunk tile bounds and v^T."""
-    b, hw_tot, n_h, dh = values.shape
+    (idx, c, qof, pos) plus per-chunk tile bounds and v^T.
+
+    values_t: optional (B, n_h, dh, HW_tot) pre-transposed value maps —
+    skips the (B, HW, C) -> v^T relayout (a ~0.27 ms copy per decoder
+    layer at bs8/1024px, device-traced)."""
+    if values_t is not None:
+        b, n_h, dh, hw_tot = values_t.shape
+    else:
+        b, hw_tot, n_h, dh = values.shape
     q = loc.shape[1]
     idx, w, _, _ = _merged_geometry(loc, shapes)
     c = w * attn[..., None]                          # (B,Q,n_h,L,P,4)
@@ -360,7 +368,10 @@ def _sorted_taps(shapes, values, loc, attn, t_pad, hw_pad):
     chunks = sidx.reshape(bh, n_k, _TILE_T)
     lo = (chunks.min(-1) // _TILE_C).astype(jnp.int32)[:, None]
     hi = (chunks.max(-1) // _TILE_C).astype(jnp.int32)[:, None]
-    vt = values.transpose(0, 2, 3, 1).reshape(bh, dh, hw_tot)
+    if values_t is not None:
+        vt = values_t.reshape(bh, dh, hw_tot)
+    else:
+        vt = values.transpose(0, 2, 3, 1).reshape(bh, dh, hw_tot)
     vt = jnp.pad(vt, ((0, 0), (0, 0), (0, hw_pad - hw_tot))
                  ).astype(jnp.bfloat16)
     return (sidx.reshape(bh, n_k, 1, _TILE_T),
@@ -444,6 +455,27 @@ def _fwd_pallas(sidx, sc, sqof, lo, hi, vt, q_pad: int):
 def _tpu_bwd(shapes, res, dout):
     values, loc, attn, sidx, sc, sqof, spos, lo, hi, vt = res
     b, hw_tot, n_h, dh = values.shape
+    dv_t, dloc, dattn = _tpu_bwd_core(
+        shapes, (loc, attn, sidx, sc, sqof, spos, lo, hi, vt), dout,
+        b, n_h, dh, hw_tot)
+    dvalues = dv_t.reshape(b, n_h, dh, -1)[..., :hw_tot].transpose(
+        0, 3, 1, 2).astype(values.dtype)
+    return dvalues, dloc.astype(loc.dtype), dattn.astype(attn.dtype)
+
+
+def _tpu_bwd_t(shapes, res, dout):
+    values_t, loc, attn, sidx, sc, sqof, spos, lo, hi, vt = res
+    b, n_h, dh, hw_tot = values_t.shape
+    dv_t, dloc, dattn = _tpu_bwd_core(
+        shapes, (loc, attn, sidx, sc, sqof, spos, lo, hi, vt), dout,
+        b, n_h, dh, hw_tot)
+    dvalues_t = dv_t.reshape(b, n_h, dh, -1)[..., :hw_tot].astype(
+        values_t.dtype)
+    return dvalues_t, dloc.astype(loc.dtype), dattn.astype(attn.dtype)
+
+
+def _tpu_bwd_core(shapes, res, dout, b, n_h, dh, hw_tot):
+    (loc, attn, sidx, sc, sqof, spos, lo, hi, vt) = res
     q = loc.shape[1]
     n_l, n_p = loc.shape[3], loc.shape[4]
     t = q * n_l * n_p * 4
@@ -484,10 +516,7 @@ def _tpu_bwd(shapes, res, dout):
     scale = jnp.asarray([(w_, h_) for (h_, w_) in shapes],
                         jnp.float32)                 # (L, 2) pixel scales
     dloc = jnp.stack([dsx, dsy], -1) * scale[None, None, None, :, None, :]
-
-    dvalues = dv_t.reshape(b, n_h, dh, -1)[..., :hw_tot].transpose(
-        0, 3, 1, 2).astype(values.dtype)
-    return dvalues, dloc.astype(loc.dtype), dattn.astype(attn.dtype)
+    return dv_t, dloc, dattn
 
 
 @jax.jit
@@ -580,3 +609,45 @@ def _tpu_fwd_rule(shapes, values, loc, attn):
 
 
 _ms_deform_attn_tpu.defvjp(_tpu_fwd_rule, _tpu_bwd)
+
+
+# ── transposed-values variant ────────────────────────────────────────────
+
+def _tpu_fwd_t(shapes, values_t, loc, attn):
+    b, n_h, dh, hw_tot = values_t.shape
+    q = loc.shape[1]
+    t = q * loc.shape[3] * loc.shape[4] * 4
+    t_pad = _round_up(t, _TILE_T)
+    hw_pad = _round_up(hw_tot, _TILE_C)
+    q_pad = max(_round_up(q, _LANE), _LANE)
+    sidx, sc, sqof, spos, lo, hi, vt = _sorted_taps(
+        shapes, None, loc, attn, t_pad, hw_pad, values_t=values_t)
+    out_t = _fwd_pallas(sidx, sc, sqof, lo, hi, vt, q_pad)
+    out = out_t.reshape(b, n_h, dh, q_pad)[..., :q].transpose(0, 3, 1, 2)
+    return out, (values_t, loc, attn, sidx, sc, sqof, spos, lo, hi, vt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ms_deform_attn_tpu_t(shapes, values_t, loc, attn):
+    out, _ = _tpu_fwd_t(shapes, values_t, loc, attn)
+    return out
+
+
+_ms_deform_attn_tpu_t.defvjp(_tpu_fwd_t, _tpu_bwd_t)
+
+
+def ms_deform_attn_t(values_t, shapes, loc, attn):
+    """:func:`ms_deform_attn` taking PRE-TRANSPOSED value maps.
+
+    values_t: (B, n_h, dh, HW_tot) — exactly the v^T layout the kernels
+    consume. A producer that emits this natively (e.g. a value projection
+    computed as kernel^T @ memory^T) avoids one (B, HW, C) relayout copy
+    per call in each direction: ~0.27 ms x 6 decoder layers x fwd+bwd at
+    RT-DETR bs8/1024px (device-traced). Other args/returns as
+    :func:`ms_deform_attn`."""
+    if jax.default_backend() == "tpu" or _INTERPRET:
+        return _ms_deform_attn_tpu_t(shapes, values_t, loc, attn)
+    b, n_h, dh, hw = values_t.shape
+    values = values_t.reshape(b, n_h * dh, hw).transpose(0, 2, 1).reshape(
+        b, hw, n_h, dh)
+    return ms_deform_attn_ref(values, shapes, loc, attn)

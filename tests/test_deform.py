@@ -122,6 +122,40 @@ class TestFusedMsDeformAttn:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-2, rtol=2e-2)
 
+    def test_transposed_values_parity(self, rng):
+        """ms_deform_attn_t (pre-transposed v^T layout) matches the
+        values-layout op in value and gradients (interpret mode)."""
+        values, shapes, loc, attn = self._inputs(rng)
+        b, hw, heads, dh = values.shape
+        values_t = values.transpose(0, 2, 3, 1).reshape(b, heads, dh, hw)
+        cot = jnp.asarray(rng.standard_normal(
+            (b, loc.shape[1], heads, dh)), jnp.float32)
+
+        def loss_ref(v, l, a):
+            return (deform.ms_deform_attn_ref(v, shapes, l, a) * cot).sum()
+
+        def loss_t(vt, l, a):
+            return (deform._ms_deform_attn_tpu_t(shapes, vt, l, a)
+                    * cot).sum()
+
+        ref = deform.ms_deform_attn_ref(values, shapes, loc, attn)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(values, loc, attn)
+        deform._INTERPRET = True
+        try:
+            out = deform._ms_deform_attn_tpu_t(shapes, values_t, loc, attn)
+            g_t = jax.grad(loss_t, argnums=(0, 1, 2))(values_t, loc, attn)
+        finally:
+            deform._INTERPRET = False
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
+        dv_ref_t = np.asarray(g_ref[0]).transpose(0, 2, 3, 1).reshape(
+            b, heads, dh, hw)
+        np.testing.assert_allclose(np.asarray(g_t[0]), dv_ref_t,
+                                   atol=5e-2, rtol=5e-2)
+        for gr, gt in zip(g_ref[1:], g_t[1:]):
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(gr),
+                                       atol=5e-2, rtol=5e-2)
+
     def test_grad_parity(self, rng):
         values, shapes, loc, attn = self._inputs(rng)
         cot = jnp.asarray(rng.standard_normal(

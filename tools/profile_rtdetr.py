@@ -64,6 +64,7 @@ def main():
     p.add_argument("--ngt", type=int, default=80)
     p.add_argument("--n", type=int, default=10)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--dir", default="/tmp/jaxtrace_rtdetr")
     args = p.parse_args()
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -75,16 +76,29 @@ def main():
     images, gb, gc = make_batch(args.bs, args.img, args.ngt)
     key = jax.random.key(1)
 
-    if args.mode == "step":
+    if args.mode in ("step", "trace"):
         with bn_dtype_scope(dtype):
             step = jax.jit(TR.make_train_step(
                 model, tx, args.img, CorruptionConfig(), augment=True,
                 base_augment=True), donate_argnums=(0,))
-            dt = timeit(lambda s, *a: step(s, *a)[0], state,
-                        (images, gb, gc, key), args.n,
-                        lambda s: s.params["dec_score_head_0"]["Dense_0"]
-                        ["bias"] if "dec_score_head_0" in s.params else
-                        jax.tree.leaves(s.params)[0])
+            if args.mode == "trace":
+                import time as _t
+                s, m = step(state, images, gb, gc, key)
+                float(jax.device_get(m["loss"]))      # compile + sync
+                jax.profiler.start_trace(args.dir)
+                t0 = _t.time()
+                for _ in range(args.n):
+                    s, m = step(s, images, gb, gc, key)
+                float(jax.device_get(m["loss"]))
+                dt = (_t.time() - t0) / args.n
+                jax.profiler.stop_trace()
+                print(f"trace -> {args.dir}")
+            else:
+                dt = timeit(lambda s, *a: step(s, *a)[0], state,
+                            (images, gb, gc, key), args.n,
+                            lambda s: s.params["dec_score_head_0"]["Dense_0"]
+                            ["bias"] if "dec_score_head_0" in s.params else
+                            jax.tree.leaves(s.params)[0])
     elif args.mode == "noloss":
         with bn_dtype_scope(dtype):
             def step(state, images_u8, key):

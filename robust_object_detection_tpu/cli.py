@@ -155,6 +155,47 @@ def cmd_eval(args):
                         results_name=args.results_name)
 
 
+def cmd_eval_fused(args):
+    """Fused on-device sweep: corrupt -> restore -> detect chained per
+    batch on device (eval/fused_sweep.py). Takes the CLEAN val split —
+    corrupted variants are generated on device — and emits the same 8-pass
+    (4 variants x {corrupted, restored}) summaries as the disk sweep.
+    The disk path (build-testsets / restore-testsets / eval) remains the
+    frozen-testset parity path; this is the production throughput path."""
+    from pathlib import Path
+    from .core import artifacts
+    from .data import pipeline as pipe
+    from .eval import fused_sweep
+    from .eval.detector_eval import BucketedPredict
+    models = _load_models(args.model, args.img_size)
+    unet_model = unet_vars = None
+    if args.unet_dir:
+        from .train.restoration import load_best
+        unet_model, unet_vars = load_best(args.unet_dir)
+    samples = pipe.index_coco(args.data_root, args.split)
+    results = {}
+    rows = []
+    for name, (predict, state) in models.items():
+        if isinstance(predict, BucketedPredict):
+            raise SystemExit("--frcnn-native-res is not supported in the "
+                             "fused sweep (single-canvas letterbox path)")
+        out = fused_sweep.run_fused_sweep(
+            predict, state, unet_model, unet_vars, samples, args.img_size,
+            args.batch_size)
+        results[name] = out
+        for strategy in fused_sweep.STRATEGIES:
+            if strategy not in out:
+                continue
+            for variant, s in out[strategy].items():
+                rows.append([name, strategy, variant,
+                             round(s["mAP50"], 4), round(s["mAP50_95"], 4),
+                             out["images_per_sec"]])
+    artifacts.write_json(Path(args.out) / "fused_eval_results.json", results)
+    print(artifacts.format_table(
+        ["model", "strategy", "testset", "mAP50", "mAP50_95",
+         "sweep img/s"], rows))
+
+
 def cmd_validate(args):
     """Structural dataset checks (reference: paths.check_dataset,
     paths.py:11-23, + the converters' kept/removed audits)."""
@@ -327,6 +368,21 @@ def main(argv=None):
         (("--batch-size",), {"type": int, "default": 8}),
         (("--layout",), {"default": "coco6"}),
         (("--results-name",), {"default": "eval_results"}),
+        (("--out",), {"default": "experiments"}))
+
+    add("eval-fused", cmd_eval_fused,
+        (("--model",), {"action": "append", "required": True,
+                        "help": "name=kind:ckpt_dir (repeatable)"}),
+        (("--data-root",), {"required": True,
+                            "help": "COCO-layout CLEAN val split (e.g. "
+                                    "processed/visdrone_coco6) — variants "
+                                    "are generated on device"}),
+        (("--split",), {"default": "val"}),
+        (("--unet-dir",), {"default": None,
+                           "help": "restoration run dir; omit to skip "
+                                   "the restored stream (4 passes)"}),
+        (("--img-size",), {"type": int, "default": 1024}),
+        (("--batch-size",), {"type": int, "default": 8}),
         (("--out",), {"default": "experiments"}))
 
     add("validate", cmd_validate,

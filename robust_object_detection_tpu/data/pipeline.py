@@ -113,6 +113,16 @@ def _hw(size) -> tuple[int, int]:
     return (size, size) if isinstance(size, int) else (size[0], size[1])
 
 
+def load_image_rgb(sample: Sample) -> np.ndarray:
+    """Decode one image to native-resolution RGB uint8 (no letterbox)."""
+    import cv2
+    img = cv2.imread(str(sample.image_path), cv2.IMREAD_COLOR)
+    if img is None:  # fall back to PIL for non-JPEG content
+        from PIL import Image
+        return np.asarray(Image.open(sample.image_path).convert("RGB"))
+    return img[:, :, ::-1]  # BGR -> RGB
+
+
 def load_letterboxed(sample: Sample, size,
                      pad_value: int = 114,
                      scale: float | None = None) -> tuple[np.ndarray, float]:
@@ -125,12 +135,7 @@ def load_letterboxed(sample: Sample, size,
     Returns (canvas uint8 (H,W,3) RGB, scale).
     """
     import cv2
-    img = cv2.imread(str(sample.image_path), cv2.IMREAD_COLOR)
-    if img is None:  # fall back to PIL for non-JPEG content
-        from PIL import Image
-        img = np.asarray(Image.open(sample.image_path).convert("RGB"))
-    else:
-        img = img[:, :, ::-1]  # BGR -> RGB
+    img = load_image_rgb(sample)
     ch, cw = _hw(size)
     h, w = img.shape[:2]
     if scale is None:

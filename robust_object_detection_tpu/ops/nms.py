@@ -7,9 +7,18 @@ tensors. On TPU, everything is fixed capacity: callers pre-select the top
 the result is always `max_outputs` slots with a validity mask.
 
 Greedy exactness: this computes the same keep-set as the sequential
-torchvision/Ultralytics algorithm (scores sorted desc; a box is kept iff it is
-not suppressed by any *kept* earlier box). The O(K^2) IoU matrix is one small
-matmul-shaped op; the greedy pass is a `fori_loop` of K cheap vector steps.
+torchvision/Ultralytics algorithm (scores sorted desc; a box is kept iff it
+is not suppressed by any *kept* earlier box), implemented as a
+`max_outputs`-step scan: pick the max-score live box, emit it, kill every
+live box it overlaps. Each step is a handful of (B, K) vector ops.
+
+The r2 implementation built the (K, K) IoU matrix and swept it with a
+K-step fori loop; at eval shapes (K=4096, B=8) the matrix tensors are
+134 MB each, vmap pushed the batch dim into the 128-lane minor position
+(16x tile waste), and the sweep ran K sequential steps — 216 ms of a
+889 ms fused-sweep batch on v5e. The scan form runs max_outputs (300)
+steps over (B, K) rows instead: no quadratic tensor, batch-major tiles,
+13x fewer iterations.
 """
 
 from __future__ import annotations
@@ -19,31 +28,54 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from . import boxes as box_ops
-
 # Class-aware NMS offset: boxes of different classes never overlap once each
 # class is translated to its own region (the torchvision batched_nms trick).
 _CLASS_OFFSET = 8192.0
 
 
-def _greedy_keep(iou: jax.Array, valid: jax.Array, thresh: float) -> jax.Array:
-    """Greedy suppression over score-sorted boxes.
+def _nms_core(boxes: jax.Array, scores: jax.Array, classes: jax.Array,
+              max_outputs: int, iou_thresh: float, class_aware: bool):
+    """Greedy NMS over (B, K) candidates -> (B, max_outputs) picks.
 
-    iou: (K, K) IoU matrix of boxes sorted by descending score.
-    valid: (K,) bool for real (non-padded) boxes.
-    Returns keep: (K,) bool.
+    Padding slots carry score <= 0 and are never picked as valid.
     """
-    k = iou.shape[0]
-    suppress = (iou > thresh) & (
-        jax.lax.broadcasted_iota(jnp.int32, iou.shape, 1)
-        > jax.lax.broadcasted_iota(jnp.int32, iou.shape, 0))
+    b_, k = scores.shape
+    nb = boxes + (classes[..., None].astype(jnp.float32) * _CLASS_OFFSET
+                  if class_aware else 0.0)
+    x1, y1, x2, y2 = (nb[..., i] for i in range(4))            # (B, K)
+    area = (x2 - x1) * (y2 - y1)
+    s_live = jnp.where(scores > 0, scores, -1.0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b_, k), 1)
 
-    def body(i, keep):
-        # If box i is kept, it suppresses all later overlapping boxes.
-        return keep & ~(suppress[i] & keep[i])
+    def body(s_live, _):
+        si = jnp.max(s_live, axis=1)                           # (B,)
+        i = jnp.argmax(s_live, axis=1)                         # (B,)
+        oh = iota == i[:, None]                                # (B, K)
+        sel = lambda v: jnp.sum(jnp.where(oh, v, 0.0), axis=1,
+                                keepdims=True)                 # (B, 1)
+        bx1, by1, bx2, by2, ba = sel(x1), sel(y1), sel(x2), sel(y2), sel(area)
+        iw = jnp.maximum(jnp.minimum(bx2, x2) - jnp.maximum(bx1, x1), 0.0)
+        ih = jnp.maximum(jnp.minimum(by2, y2) - jnp.maximum(by1, y1), 0.0)
+        inter = iw * ih
+        iou = inter / jnp.maximum(ba + area - inter, 1e-9)
+        s_next = jnp.where((iou > iou_thresh) | oh, -1.0, s_live)
+        return s_next, (i, si)
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
-    return keep
+    _, (idx, sval) = jax.lax.scan(body, s_live, None, length=max_outputs)
+    idx = idx.T                                                # (B, P)
+    sval = sval.T
+    valid = sval > 0
+
+    # materialise picked rows with one-hot f32 matmuls: generic row gathers
+    # serialise on TPU, and a bf16 one-hot would quantise pixel coords
+    oh = (idx[..., None] == iota[:, None, :]).astype(jnp.float32)  # (B, P, K)
+    ob = jnp.einsum("bpk,bki->bpi", oh, boxes)
+    oc = jnp.einsum("bpk,bk->bp", oh, classes.astype(jnp.float32)
+                    ).astype(jnp.int32)
+    ob = jnp.where(valid[..., None], ob, 0.0)
+    os_ = jnp.where(valid, sval, 0.0)
+    oc = jnp.where(valid, oc, -1)
+    return ob, os_, oc, valid
 
 
 @functools.partial(jax.jit, static_argnames=("max_outputs", "iou_thresh",
@@ -57,33 +89,9 @@ def nms(boxes: jax.Array, scores: jax.Array, classes: jax.Array,
     classes: (K,) int32. Returns (boxes, scores, classes, valid) with leading
     dim max_outputs, sorted by descending score.
     """
-    k = boxes.shape[0]
-    order = jnp.argsort(-scores)
-    b = boxes[order]
-    s = scores[order]
-    c = classes[order]
-    valid = s > 0
-
-    nb = b + (c[:, None].astype(jnp.float32) * _CLASS_OFFSET if class_aware
-              else 0.0)
-    iou = box_ops.pairwise_iou(nb, nb)
-    keep = _greedy_keep(iou, valid, iou_thresh)
-
-    # Compact kept boxes to the front, preserving score order:
-    # scatter out_idx[slot[i]] = i for kept boxes within capacity; dropped and
-    # padded boxes land in an overflow slot that is sliced away.
-    rank = jnp.cumsum(keep) - 1                      # position among kept
-    slot = jnp.where(keep & (rank < max_outputs), rank, max_outputs)
-    out_idx = jnp.full((max_outputs + 1,), k, jnp.int32).at[slot].set(
-        jnp.arange(k, dtype=jnp.int32))[:max_outputs]
-
-    gather = jnp.clip(out_idx, 0, k - 1)
-    out_valid = out_idx < k
-    zeros4 = jnp.zeros((max_outputs, 4), b.dtype)
-    ob = jnp.where(out_valid[:, None], b[gather], zeros4)
-    os_ = jnp.where(out_valid, s[gather], 0.0)
-    oc = jnp.where(out_valid, c[gather], -1)
-    return ob, os_, oc, out_valid
+    ob, os_, oc, ov = _nms_core(boxes[None], scores[None], classes[None],
+                                max_outputs, iou_thresh, class_aware)
+    return ob[0], os_[0], oc[0], ov[0]
 
 
 @functools.partial(jax.jit, static_argnames=("num_candidates", "max_outputs",
@@ -103,6 +111,5 @@ def batched_nms(boxes: jax.Array, scores: jax.Array, classes: jax.Array,
     top_s, top_i = jax.lax.top_k(s, k)
     top_b = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
     top_c = jnp.take_along_axis(classes, top_i, axis=1)
-    return jax.vmap(
-        lambda b_, s_, c_: nms(b_, s_, c_, max_outputs, iou_thresh,
-                               class_aware))(top_b, top_s, top_c)
+    return _nms_core(top_b, top_s, top_c, max_outputs, iou_thresh,
+                     class_aware)

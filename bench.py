@@ -238,9 +238,29 @@ def main() -> None:
     print(json.dumps(record), flush=True)
     if "--train-only" not in sys.argv:
         try:
-            record["sweep"] = bench_sweep()
+            sweep = bench_sweep()
         except Exception as e:      # sweep is auxiliary; keep the headline
-            record["sweep"] = {"error": repr(e)[:200]}
+            sweep = {"error": repr(e)[:200]}
+        # Full per-stage decomposition goes to a FILE — the driver records
+        # only the stdout tail, and the r3 blob pushed the headline past the
+        # truncation point (ADVICE r3). stdout keeps a compact summary with
+        # the headline keys FIRST.
+        with open("bench_detail.json", "w") as f:
+            json.dump(dict(record, sweep=sweep), f, indent=1)
+        compact = {k: sweep[k] for k in
+                   ("value", "unit", "fused_on_device",
+                    "projected_real_host_images_per_sec")
+                   if k in sweep}
+        if "fused_on_device" in compact:
+            compact["fused_on_device"] = {
+                k: compact["fused_on_device"][k]
+                for k in ("images_per_sec", "images_evaluated")}
+        if "metric" in sweep:
+            compact["metric"] = sweep["metric"]
+        if "error" in sweep:
+            compact["error"] = sweep["error"]
+        record["sweep"] = compact
+        record["detail"] = "bench_detail.json"
         print(json.dumps(record), flush=True)
 
 

@@ -710,18 +710,23 @@ def param_count(variables: dict) -> int:
 
 
 def postprocess(outputs: dict, img_size: int, max_det: int = 300):
-    """NMS-free decode: top-max_det of the (Q*nc) sigmoid scores.
+    """NMS-free decode, Ultralytics val semantics: each query contributes
+    its max-class sigmoid score (RTDETRValidator.postprocess takes
+    ``score, cls = scores.max(-1)`` per query — the protocol behind the
+    reference's RT-DETR numbers, eval_all.py:162-192), then the top
+    max_det queries by score.
 
     Returns (boxes xyxy px, scores, classes, valid) with fixed capacity.
     """
     logits = outputs["logits"][-1]                  # (B, Q, nc)
     boxes = outputs["boxes"][-1]                    # (B, Q, 4) cxcywh [0,1]
     b, q, nc = logits.shape
-    scores = jax.nn.sigmoid(logits).reshape(b, q * nc)
-    k = min(max_det, q * nc)
-    top_s, top_i = jax.lax.top_k(scores, k)
-    q_idx = top_i // nc
-    cls = (top_i % nc).astype(jnp.int32)
+    scores = jax.nn.sigmoid(logits)
+    q_scores = jnp.max(scores, -1)                  # (B, Q)
+    q_cls = jnp.argmax(scores, -1).astype(jnp.int32)
+    k = min(max_det, q)
+    top_s, q_idx = jax.lax.top_k(q_scores, k)
+    cls = jnp.take_along_axis(q_cls, q_idx, 1)
     bsel = jnp.take_along_axis(boxes, q_idx[..., None], 1)
     cx, cy, w, h = (bsel[..., 0], bsel[..., 1], bsel[..., 2], bsel[..., 3])
     xyxy = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],

@@ -137,8 +137,16 @@ def make_train_step(model, tx, img_size: int, corruption: CorruptionConfig,
 
 def make_predict_step(model, img_size: int, conf: float = 0.001,
                       iou: float = 0.7, max_det: int = 300,
-                      num_candidates: int = 4096, use_ema: bool = True):
-    """Jittable inference: uint8 batch -> NMS'd detections (fixed capacity)."""
+                      num_candidates: int = 4096, use_ema: bool = True,
+                      multi_label: bool = True):
+    """Jittable inference: uint8 batch -> NMS'd detections (fixed capacity).
+
+    multi_label=True matches the Ultralytics VAL protocol the reference
+    evaluates under (eval_all.py:162-192 -> DetectionValidator.postprocess
+    -> non_max_suppression(multi_label=True)): every class above `conf`
+    yields a candidate per box. multi_label=False is the Ultralytics
+    PREDICT path (per-box argmax class), used by report/demo.
+    """
 
     def step(state: DetTrainState, images_u8):
         params = state.ema_params if use_ema else state.params
@@ -147,7 +155,12 @@ def make_predict_step(model, img_size: int, conf: float = 0.001,
                             "batch_stats": state.batch_stats},
                            x, train=False)
         boxes, scores = yolo_lib.decode(outs, img_size)
-        # class-wise max (Ultralytics multi_label=False val path)
+        if multi_label:
+            return nms_ops.multilabel_nms(
+                boxes, scores,
+                num_candidates=min(num_candidates,
+                                   scores.shape[1] * scores.shape[2]),
+                max_outputs=max_det, iou_thresh=iou, score_thresh=conf)
         best_cls = jnp.argmax(scores, -1)
         best_score = jnp.max(scores, -1)
         return nms_ops.batched_nms(

@@ -124,14 +124,17 @@ def load_image_rgb(sample: Sample) -> np.ndarray:
 
 
 def load_letterboxed(sample: Sample, size,
-                     pad_value: int = 114,
+                     pad_value=114,
                      scale: float | None = None) -> tuple[np.ndarray, float]:
     """Decode + letterbox one image on host (cv2 bilinear, top-left anchor).
 
     size: int (square) or (H, W) canvas. `scale` overrides the fit-to-canvas
     scale (the aspect-bucket FRCNN eval resizes by torchvision's
     min800/max1333 rule, then pads to the bucket canvas); the scaled image
-    is clipped to the canvas if rounding lands 1px over.
+    is clipped to the canvas if rounding lands 1px over. pad_value: scalar
+    or per-channel RGB tuple (the FRCNN bucketed path pads with the
+    imagenet-mean pixel, matching torchvision's zero-pad of the normalised
+    tensor).
     Returns (canvas uint8 (H,W,3) RGB, scale).
     """
     import cv2
@@ -151,11 +154,12 @@ def make_batches(samples: Sequence[Sample], batch_size: int, image_size,
                  max_boxes: int = 600, shuffle: bool = False,
                  seed: int = 0, drop_remainder: bool = False,
                  num_threads: int = 8,
-                 scale_fn=None) -> Iterator[Batch]:
+                 scale_fn=None, pad_value=114) -> Iterator[Batch]:
     """Yield fixed-shape Batches; decode work fans out over host threads.
 
     image_size: int (square) or (H, W) canvas. scale_fn(sample) -> float
-    overrides the fit-to-canvas scale per sample (see load_letterboxed).
+    overrides the fit-to-canvas scale per sample; pad_value the canvas
+    padding (see load_letterboxed).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -166,7 +170,7 @@ def make_batches(samples: Sequence[Sample], batch_size: int, image_size,
 
     def load_one(sample: Sample):
         canvas, scale = load_letterboxed(
-            sample, (canvas_h, canvas_w),
+            sample, (canvas_h, canvas_w), pad_value=pad_value,
             scale=scale_fn(sample) if scale_fn else None)
         m = min(len(sample.boxes_xyxy), max_boxes)
         boxes = np.zeros((max_boxes, 4), np.float32)

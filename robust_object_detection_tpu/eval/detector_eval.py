@@ -46,7 +46,7 @@ def evaluate_on_samples(predict_fn: Callable, state, samples,
         return evaluate_bucketed(
             predict_fn.factory, state, samples, batch_size, ctx, max_boxes,
             predict_fn.min_side, predict_fn.max_side,
-            predict_fn.bucket_mult, timer)
+            predict_fn.bucket_mult, timer, predict_fn.pad_value)
     t0 = time.time()
     detections, ground_truth, n_images = _collect_detections(
         predict_fn, state, samples, img_size, batch_size, ctx, max_boxes,
@@ -58,11 +58,13 @@ def evaluate_on_samples(predict_fn: Callable, state, samples,
 def _collect_detections(predict_fn: Callable, state, samples,
                         img_size, batch_size: int,
                         ctx: Optional[mesh_lib.MeshContext],
-                        max_boxes: int, timer=None, scale_fn=None):
+                        max_boxes: int, timer=None, scale_fn=None,
+                        pad_value=114):
     """The predict half of evaluate_on_samples: (detections, gt, n_images).
 
-    img_size may be an (H, W) canvas and scale_fn a per-sample resize-scale
-    override (the aspect-bucket FRCNN eval path).
+    img_size may be an (H, W) canvas, scale_fn a per-sample resize-scale
+    override, and pad_value the canvas padding (the aspect-bucket FRCNN
+    eval path).
     """
     detections: Dict[int, coco_map.Detections] = {}
     ground_truth: Dict[int, coco_map.GroundTruth] = {}
@@ -73,7 +75,7 @@ def _collect_detections(predict_fn: Callable, state, samples,
     pending = []
     it = iter(pipe.prefetch(pipe.make_batches(
         samples, batch_size, img_size, max_boxes=max_boxes,
-        scale_fn=scale_fn)))
+        scale_fn=scale_fn, pad_value=pad_value)))
     while True:
         if timer is None:
             batch = next(it, None)
@@ -155,12 +157,16 @@ class BucketedPredict:
     """
 
     def __init__(self, factory: Callable, min_side: float = 800.0,
-                 max_side: float = 1333.0, bucket_mult: int = 64):
+                 max_side: float = 1333.0, bucket_mult: int = 64,
+                 pad_value=(124, 116, 104)):
         import functools
         self.factory = functools.lru_cache(maxsize=None)(factory)
         self.min_side = min_side
         self.max_side = max_side
         self.bucket_mult = bucket_mult
+        # default pad = imagenet-mean pixel: torchvision batch_images
+        # zero-pads the NORMALISED tensor, i.e. mean-pads in pixel space
+        self.pad_value = pad_value
 
 
 def tv_target(h: int, w: int, min_side: float = 800.0,
@@ -181,7 +187,7 @@ def evaluate_bucketed(predict_factory: Callable, state, samples,
                       ctx: Optional[mesh_lib.MeshContext] = None,
                       max_boxes: int = 600, min_side: float = 800.0,
                       max_side: float = 1333.0, bucket_mult: int = 64,
-                      timer=None) -> Dict:
+                      timer=None, pad_value=(124, 116, 104)) -> Dict:
     """Aspect-bucket eval at torchvision-native resolution (FRCNN parity).
 
     Each image is resized by EXACTLY the GeneralizedRCNNTransform scale
@@ -210,7 +216,8 @@ def evaluate_bucketed(predict_factory: Callable, state, samples,
         predict_fn = predict_factory(bucket)
         d, g, m = _collect_detections(
             predict_fn, state, group, bucket, batch_size, ctx, max_boxes,
-            timer, scale_fn=lambda s: scales[s.image_id])
+            timer, scale_fn=lambda s: scales[s.image_id],
+            pad_value=pad_value)
         detections.update(d)
         ground_truth.update(g)
         n_images += m

@@ -36,6 +36,14 @@ ANCHOR_SIZES = (32, 64, 128, 256, 512)       # one per level P2..P6
 ASPECT_RATIOS = (0.5, 1.0, 2.0)
 RPN_STRIDES = (4, 8, 16, 32, 64)
 NUM_CLASSES = 7                              # bg + 6
+# GeneralizedRCNNTransform image_mean/std — torchvision normalises inside
+# the detector, so imported checkpoints expect it (the raw [0,1] pixels the
+# trainers feed are normalised in extract() when cfg.normalize)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+# uint8 letterbox pad matching torchvision's zero-pad of the NORMALISED
+# tensor (batch_images pads with 0 == pixel value mean*255)
+PAD_RGB = tuple(int(round(m * 255)) for m in IMAGENET_MEAN)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +79,10 @@ class FrcnnConfig:
     # 3 = torchvision's choice whenever weights are given — the
     # reference's weights="DEFAULT" build freezes conv1/bn1/layer1)
     trainable_layers: int = 5
+    # GeneralizedRCNNTransform imagenet normalisation inside the forward
+    # (torchvision semantics; imported checkpoints require it). False is
+    # for tensor-level parity tests against transform-free replicas.
+    normalize: bool = True
 
 
 # ── Anchors ──────────────────────────────────────────────────────────────
@@ -89,20 +101,31 @@ def anchor_boxes(img_size) -> np.ndarray:
 
 def _anchors_hw_major(img_size) -> List[np.ndarray]:
     """Per level, anchors laid out (H*W*A, 4) with A fastest — matching a
-    (H, W, A*4) head reshape."""
+    (H, W, A*4) head reshape.
+
+    Exact torchvision AnchorGenerator geometry: base-anchor corners
+    ROUNDED to integers and grids CORNER-aligned (shift = i*stride, not
+    cell centres). Imported torchvision checkpoints predict RPN deltas
+    relative to these anchors — a half-stride centre shift would misplace
+    every decoded proposal by 2-32 px (train_frcnn_baseline.py:139 builds
+    the stock AnchorGenerator).
+    """
     ih, iw = _hw(img_size)
     per_level = []
     for size, stride in zip(ANCHOR_SIZES, RPN_STRIDES):
         # feature grid is ceil(H/stride) (SAME-padded strided convs;
         # torchvision builds anchors from the actual feature sizes too)
         nh, nw = -(-ih // stride), -(-iw // stride)
-        cy, cx = (np.mgrid[0:nh, 0:nw].astype(np.float32) + 0.5) * stride
-        whs = [(size * np.sqrt(1.0 / r), size * np.sqrt(r))
-               for r in ASPECT_RATIOS]
-        lvl = np.stack([np.stack([cx - w / 2, cy - h / 2,
-                                  cx + w / 2, cy + h / 2], axis=-1)
-                        for w, h in whs], axis=2)       # (nh, nw, A, 4)
-        per_level.append(lvl.reshape(-1, 4))
+        cy, cx = np.mgrid[0:nh, 0:nw].astype(np.float32) * stride
+        base = np.round(np.stack(
+            [np.asarray([-size * np.sqrt(1.0 / r) / 2,
+                         -size * np.sqrt(r) / 2,
+                         size * np.sqrt(1.0 / r) / 2,
+                         size * np.sqrt(r) / 2], np.float32)
+             for r in ASPECT_RATIOS]))                  # (A, 4) rounded
+        shifts = np.stack([cx, cy, cx, cy], axis=-1)    # (nh, nw, 4)
+        lvl = shifts[:, :, None, :] + base[None, None]  # (nh, nw, A, 4)
+        per_level.append(lvl.reshape(-1, 4).astype(np.float32))
     return per_level
 
 
@@ -222,6 +245,9 @@ class FasterRCNN(nn.Module):
         self.box_head = BoxHead(self.cfg.num_classes, dtype=self.dtype)
 
     def extract(self, images, train: bool = False):
+        if self.cfg.normalize:
+            images = ((images - jnp.asarray(IMAGENET_MEAN, images.dtype))
+                      / jnp.asarray(IMAGENET_STD, images.dtype))
         feats = self.backbone(images, train)
         pyramid = self.fpn(feats, train)
         obj, deltas = self.rpn_head(pyramid)
@@ -265,24 +291,28 @@ def generate_proposals(obj: jax.Array, rpn_deltas: jax.Array, img_size,
     boxes = decode_deltas(rpn_deltas, anchors)
     boxes = box_ops.clip_to_image(boxes, ih, iw)
 
-    sel_scores, sel_boxes = [], []
-    for (lo, hi) in level_slices(img_size):
+    sel_scores, sel_boxes, sel_levels = [], [], []
+    for lvl, (lo, hi) in enumerate(level_slices(img_size)):
         k = min(cfg.pre_nms_topk, hi - lo)
         s, idx = jax.lax.top_k(obj[:, lo:hi], k)
         sel_scores.append(s)
         sel_boxes.append(jnp.take_along_axis(boxes[:, lo:hi],
                                              idx[..., None], axis=1))
+        sel_levels.append(jnp.full(s.shape, lvl, jnp.int32))
     scores = jax.nn.sigmoid(jnp.concatenate(sel_scores, 1))
     cand = jnp.concatenate(sel_boxes, 1)
     # drop tiny boxes (torchvision min_size=1e-3) via score mask
     wh_ok = ((cand[..., 2] - cand[..., 0] > 1e-3) &
              (cand[..., 3] - cand[..., 1] > 1e-3))
     scores = jnp.where(wh_ok, scores, 0.0)
-    classes = jnp.zeros(scores.shape, jnp.int32)
+    # torchvision filter_proposals suppresses WITHIN each level only
+    # (batched_nms keyed on level index), then keeps the global score-top
+    # post_nms_top_n — level id as the "class" reproduces that exactly
+    levels = jnp.concatenate(sel_levels, 1)
     pb, ps, _, pv = nms_ops.batched_nms(
-        cand, scores, classes, num_candidates=min(4096, cand.shape[1]),
+        cand, scores, levels, num_candidates=min(4096, cand.shape[1]),
         max_outputs=cfg.num_proposals, iou_thresh=cfg.rpn_nms_thresh,
-        score_thresh=0.0, class_aware=False)
+        score_thresh=0.0, class_aware=True)
     return pb, pv
 
 

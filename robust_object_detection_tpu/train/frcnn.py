@@ -220,8 +220,12 @@ def make_predict_step(model: F.FasterRCNN, img_size):
                                   HEAD_DELTA_WEIGHTS)       # (B, P, K, 4)
         boxes_k = F.box_ops.clip_to_image(boxes_k, ih, iw)
         b, p = probs.shape[:2]
-        # drop bg (class 0); flatten (P, K-1) candidates
-        fg_probs = probs[..., 1:] * prop_valid[..., None]
+        # drop bg (class 0); flatten (P, K-1) candidates. torchvision
+        # postprocess_detections also removes sub-0.01px boxes before NMS
+        # (roi_heads remove_small_boxes(min_size=1e-2))
+        wh_ok = ((boxes_k[..., 2] - boxes_k[..., 0] > 1e-2) &
+                 (boxes_k[..., 3] - boxes_k[..., 1] > 1e-2))
+        fg_probs = probs[..., 1:] * prop_valid[..., None] * wh_ok[..., 1:]
         cand_scores = fg_probs.reshape(b, -1)
         cand_boxes = boxes_k[..., 1:, :].reshape(b, -1, 4)
         cand_classes = jnp.broadcast_to(

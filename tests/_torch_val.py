@@ -184,3 +184,171 @@ def rtdetr_val(model, images, imgsz: int, max_det: int = 300):
                     "scores": score[order].numpy(),
                     "classes": cls[order].numpy().astype(np.int64) + 1})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Faster R-CNN val protocol (torchvision GeneralizedRCNN inference,
+# eval_all.py:98-143: batch-1, native min800/max1333 resolution)
+
+FRCNN_STRIDES = (4, 8, 16, 32, 64)
+FRCNN_SIZES = (32, 64, 128, 256, 512)
+FRCNN_RATIOS = (0.5, 1.0, 2.0)
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+LOG_CLIP = float(np.log(1000.0 / 16.0))
+
+
+def _tv_anchors(th: int, tw: int):
+    """torchvision AnchorGenerator: rounded base corners, corner-aligned
+    grid (shift = i*stride), (H, W, A) order per level."""
+    out = []
+    for size, stride in zip(FRCNN_SIZES, FRCNN_STRIDES):
+        nh, nw = -(-th // stride), -(-tw // stride)
+        base = []
+        for r in FRCNN_RATIOS:
+            w = size * np.sqrt(1.0 / r)
+            h = size * np.sqrt(r)
+            base.append(np.round([-w / 2, -h / 2, w / 2, h / 2]))
+        base = np.asarray(base, np.float32)
+        cy, cx = np.mgrid[0:nh, 0:nw].astype(np.float32) * stride
+        shifts = np.stack([cx, cy, cx, cy], -1)
+        out.append((shifts[:, :, None] + base[None, None]).reshape(-1, 4))
+    return out
+
+
+def _decode_deltas_np(deltas, anchors, weights=(1., 1., 1., 1.)):
+    wx, wy, ww, wh = weights
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    ax = anchors[:, 0] + aw / 2
+    ay = anchors[:, 1] + ah / 2
+    dx, dy = deltas[..., 0] / wx, deltas[..., 1] / wy
+    dw = np.minimum(deltas[..., 2] / ww, LOG_CLIP)
+    dh = np.minimum(deltas[..., 3] / wh, LOG_CLIP)
+    cx, cy = ax + dx * aw, ay + dy * ah
+    w, h = aw * np.exp(dw), ah * np.exp(dh)
+    return np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def _clip_np(boxes, h, w):
+    boxes[..., 0::2] = boxes[..., 0::2].clip(0, w)
+    boxes[..., 1::2] = boxes[..., 1::2].clip(0, h)
+    return boxes
+
+
+def _roi_align_np(feats, boxes, out=7, s=2):
+    """Independent multi-scale RoIAlign (torchvision semantics:
+    aligned=False plain divide, sampling_ratio=2, edge-clamped bilinear,
+    FPN level by floor(4 + log2(sqrt(area)/224))). feats: list of
+    (C, H, W) numpy per level P2..P5; boxes (R, 4) image pixels."""
+    area = np.clip(boxes[:, 2] - boxes[:, 0], 0, None) * \
+        np.clip(boxes[:, 3] - boxes[:, 1], 0, None)
+    lvl = np.floor(4 + np.log2(np.sqrt(area) / 224.0 + 1e-6))
+    lvl = np.clip(lvl, 2, 5).astype(int) - 2
+    c = feats[0].shape[0]
+    rois = np.zeros((len(boxes), c, out, out), np.float32)
+    for i, (b, l) in enumerate(zip(boxes, lvl)):
+        f = feats[l]
+        _, fh, fw = f.shape
+        stride = FRCNN_STRIDES[l]
+        x1, y1, x2, y2 = b / stride
+        bw = max(x2 - x1, 1.0) / out
+        bh = max(y2 - y1, 1.0) / out
+        t = (np.arange(out * s) + 0.5) / s
+        sx = np.clip(x1 + t * bw, 0, fw - 1)
+        sy = np.clip(y1 + t * bh, 0, fh - 1)
+        x0 = np.floor(sx).astype(int)
+        y0 = np.floor(sy).astype(int)
+        x1i = np.minimum(x0 + 1, fw - 1)
+        y1i = np.minimum(y0 + 1, fh - 1)
+        fx, fy = sx - x0, sy - y0
+        # bilinear taps (T_y, T_x) then 2x2 average per bin
+        v = (f[:, y0][:, :, x0] * ((1 - fy)[:, None] * (1 - fx)[None]) +
+             f[:, y0][:, :, x1i] * ((1 - fy)[:, None] * fx[None]) +
+             f[:, y1i][:, :, x0] * (fy[:, None] * (1 - fx)[None]) +
+             f[:, y1i][:, :, x1i] * (fy[:, None] * fx[None]))
+        rois[i] = v.reshape(c, out, s, out, s).mean((2, 4))
+    return rois
+
+
+def frcnn_val(model, images, min_side: float, max_side: float,
+              pre_nms: int = 1000, post_nms: int = 512,
+              score_thresh: float = 0.05, nms_thresh: float = 0.5,
+              max_det: int = 100, num_classes: int = 7):
+    """Full torch FRCNN val pass at torchvision-native resolution.
+
+    Replicates GeneralizedRCNNTransform (per-image min/max-side scale,
+    imagenet normalise, zero-pad), RegionProposalNetwork.filter_proposals
+    (per-level pre-NMS top-k, per-LEVEL NMS 0.7, global top post_nms),
+    MultiScaleRoIAlign and RoIHeads.postprocess_detections (softmax, drop
+    bg, score>0.05, min-size 0.01, class-offset NMS 0.5, top max_det).
+    """
+    import cv2
+    out = []
+    for img in images:
+        h, w = img.shape[:2]
+        scale = min(min_side / min(h, w), max_side / max(h, w))
+        th, tw = round(h * scale), round(w * scale)
+        # resize on the uint8 image (cv2 bilinear == torch bilinear
+        # align_corners=False up to uint8 rounding). torchvision resizes
+        # the normalised float tensor instead; the two commute through the
+        # affine normalise, but the uint8 round-trip matters for the
+        # random-weight parity tests (a 0.5/255 pixel perturbation
+        # decoheres scores through 50 livened ReLU layers), so the oracle
+        # consumes byte-identical pixels and owns only the geometry,
+        # normalisation, and detection protocol.
+        resized = cv2.resize(img, (tw, th), interpolation=cv2.INTER_LINEAR)
+        ph, pw = -(-th // 32) * 32, -(-tw // 32) * 32
+        canvas = np.full((ph, pw, 3),
+                         np.round(IMAGENET_MEAN * 255).astype(np.uint8),
+                         np.uint8)
+        canvas[:th, :tw] = resized
+        x = torch.from_numpy(
+            canvas.astype(np.float32).transpose(2, 0, 1)[None]) / 255.0
+        xp = (x - torch.from_numpy(IMAGENET_MEAN)[None, :, None, None]) \
+            / torch.from_numpy(IMAGENET_STD)[None, :, None, None]
+        with torch.no_grad():
+            pyramid = model.backbone(xp)
+            objs, deltas = model.rpn.head(pyramid)
+        anchors = _tv_anchors(ph, pw)
+        cand_b, cand_s, cand_l = [], [], []
+        for li, (o, d, a) in enumerate(zip(objs, deltas, anchors)):
+            o = o.permute(0, 2, 3, 1).reshape(-1).numpy()
+            d = d[0].reshape(len(FRCNN_RATIOS), 4, *d.shape[2:]) \
+                .permute(2, 3, 0, 1).reshape(-1, 4).numpy()
+            k = min(pre_nms, len(o))
+            top = np.argsort(-o, kind="stable")[:k]
+            b = _clip_np(_decode_deltas_np(d[top], a[top]), th, tw)
+            ok = ((b[:, 2] - b[:, 0] > 1e-3) & (b[:, 3] - b[:, 1] > 1e-3))
+            cand_b.append(b[ok])
+            cand_s.append(1 / (1 + np.exp(-o[top][ok].clip(-60, 60))))
+            cand_l.append(np.full(ok.sum(), li))
+        pb, ps, _ = greedy_nms(np.concatenate(cand_b),
+                               np.concatenate(cand_s),
+                               np.concatenate(cand_l),
+                               conf=0.0, iou=0.7, max_det=post_nms)
+        feats = [pyramid[i][0].numpy() for i in range(4)]
+        rois = torch.from_numpy(_roi_align_np(feats, pb))
+        with torch.no_grad():
+            hfeat = model.roi_heads.box_head(rois)
+            scores = model.roi_heads.box_predictor.cls_score(hfeat)
+            bdeltas = model.roi_heads.box_predictor.bbox_pred(hfeat)
+        probs = torch.softmax(scores, -1).numpy()          # (P, K)
+        bdeltas = bdeltas.reshape(len(pb), num_classes, 4).numpy()
+        all_b, all_s, all_c = [], [], []
+        for kcls in range(1, num_classes):
+            bk = _clip_np(_decode_deltas_np(
+                bdeltas[:, kcls], pb, weights=(10., 10., 5., 5.)), th, tw)
+            sk = probs[:, kcls]
+            ok = (sk > score_thresh) & (bk[:, 2] - bk[:, 0] > 1e-2) \
+                & (bk[:, 3] - bk[:, 1] > 1e-2)
+            all_b.append(bk[ok])
+            all_s.append(sk[ok])
+            all_c.append(np.full(ok.sum(), kcls - 1))      # 0-based fg
+        kb, ks, kc = greedy_nms(np.concatenate(all_b),
+                                np.concatenate(all_s),
+                                np.concatenate(all_c),
+                                conf=0.0, iou=nms_thresh, max_det=max_det)
+        out.append({"boxes": scale_back(kb, scale, w, h),
+                    "scores": ks, "classes": kc.astype(np.int64) + 1})
+    return out

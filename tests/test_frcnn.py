@@ -34,14 +34,19 @@ def test_param_count(frcnn_small):
 
 
 def test_anchor_layout():
+    """torchvision AnchorGenerator geometry: corner-aligned grid (first
+    anchor centred at 0, second at stride) and integer-ROUNDED base-anchor
+    corners (area near size^2 up to the rounding)."""
     anchors = np.concatenate(F._anchors_hw_major(IMG))
     per_level = [(IMG // s) ** 2 * 3 for s in F.RPN_STRIDES]
     assert anchors.shape == (sum(per_level), 4)
-    # first level anchors centred at (2, 2) with size 32
     w = anchors[:3, 2] - anchors[:3, 0]
     h = anchors[:3, 3] - anchors[:3, 1]
-    np.testing.assert_allclose(w * h, 32 * 32, rtol=1e-4)
-    np.testing.assert_allclose((anchors[0, 0] + anchors[0, 2]) / 2, 2.0)
+    np.testing.assert_allclose(w * h, 32 * 32, rtol=0.05)
+    np.testing.assert_array_equal(anchors[:3], np.round(anchors[:3]))
+    np.testing.assert_allclose((anchors[0, 0] + anchors[0, 2]) / 2, 0.0)
+    np.testing.assert_allclose(
+        (anchors[3, 0] + anchors[3, 2]) / 2, F.RPN_STRIDES[0])
     # slices line up
     s = F.level_slices(IMG)
     assert s[-1][1] == sum(per_level)

@@ -86,7 +86,10 @@ class TestFrcnnImport:
         from robust_object_detection_tpu.models import frcnn as F
         from tests._torch_frcnn import FasterRCNN, randomize
         tm = randomize(FasterRCNN(num_classes=7))
-        fm = F.FasterRCNN(F.FrcnnConfig(num_proposals=8))
+        # normalize=False: the torch replica has no GeneralizedRCNNTransform,
+        # so tensor parity is checked transform-free (the protocol-level
+        # test covers the normalised path)
+        fm = F.FasterRCNN(F.FrcnnConfig(num_proposals=8, normalize=False))
         fv = fm.init(jax.random.key(0),
                      jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
         state = {k: v.numpy() for k, v in

@@ -77,6 +77,36 @@ def liven(model, seed=11):
     return model.eval()
 
 
+def calibrate_bn(model, run):
+    """Set every BatchNorm's running stats to its actual eval-mode input
+    distribution during one forward driven by `run()` (a no-arg callable
+    so models without a monolithic forward — the FRCNN replica exposes
+    parts — can be calibrated too).
+
+    liven() draws running stats at random, so eval-mode BN does not
+    normalise and deep residual stacks (ResNet-50) explode to O(1e4)
+    activations. A pre-forward hook that recomputes (mean, var) just
+    before each BN executes calibrates the whole net in ONE pass — each
+    later BN already sees the outputs of calibrated earlier layers.
+    """
+    hooks = []
+
+    def prehook(mod, inputs):
+        with torch.no_grad():
+            xin = inputs[0]
+            mod.running_mean.copy_(xin.mean((0, 2, 3)))
+            mod.running_var.copy_(xin.var((0, 2, 3)) + 1e-3)
+
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            hooks.append(m.register_forward_pre_hook(prehook))
+    with torch.no_grad():
+        run()
+    for h in hooks:
+        h.remove()
+    return model
+
+
 def sharpen_head(convs_or_linears, gain: float, bias: float):
     """Scale score-head outputs so sigmoid scores spread over (0, 1)
     instead of pooling near 0.5 — stable rankings need real margins."""
@@ -177,12 +207,30 @@ def detection_agreement(torch_dets, flax_dets_by_id, conf=GT_CONF,
 
 def run_flax_eval(predict_fn, state, root, img_size, collect=False):
     samples = pipe.index_coco(root, "val")
-    if collect:
-        dets, gts, _ = detector_eval._collect_detections(
-            predict_fn, state, samples, img_size, 4, None, 600)
+    if not collect:
+        return detector_eval.evaluate_on_samples(
+            predict_fn, state, samples, img_size, 4)
+    if isinstance(predict_fn, detector_eval.BucketedPredict):
+        bp = predict_fn
+        groups, scales = {}, {}
+        for s in samples:
+            th, tw, sc = detector_eval.tv_target(
+                s.height, s.width, bp.min_side, bp.max_side)
+            bucket = (-(-th // bp.bucket_mult) * bp.bucket_mult,
+                      -(-tw // bp.bucket_mult) * bp.bucket_mult)
+            groups.setdefault(bucket, []).append(s)
+            scales[s.image_id] = sc
+        dets = {}
+        for bucket, group in groups.items():
+            d, _, _ = detector_eval._collect_detections(
+                bp.factory(bucket), state, group, bucket, 4, None, 600,
+                scale_fn=lambda s: scales[s.image_id],
+                pad_value=bp.pad_value)
+            dets.update(d)
         return dets
-    return detector_eval.evaluate_on_samples(
-        predict_fn, state, samples, img_size, 4)
+    dets, _, _ = detector_eval._collect_detections(
+        predict_fn, state, samples, img_size, 4, None, 600)
+    return dets
 
 
 class TestYoloProtocol:
@@ -298,3 +346,83 @@ class TestRtdetrProtocol:
         frac, tot = detection_agreement(torch_dets, flax_dets)
         assert tot >= 30
         assert frac > 0.85, (frac, tot)
+
+
+class TestFrcnnProtocol:
+    """FRCNN at torchvision-native bucketed resolution (min128/max256
+    scaled-down analog of the reference's min800/max1333; eval_all.py:103).
+
+    Image sizes are chosen so every per-image target is already 32-aligned
+    (no padding): the oracle pads to 32-divisible and the bucketed eval to
+    bucket_mult-aligned canvases, so pad-free targets make the two
+    canvases identical and isolate protocol semantics from pad-geometry
+    choices. 6 images -> 3 buckets (3 compiles).
+    """
+    MIN_SIDE, MAX_SIDE = 128.0, 256.0
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        from tests._torch_frcnn import FasterRCNN
+        from robust_object_detection_tpu.models import frcnn as F
+        from robust_object_detection_tpu.train import frcnn as TF
+        from robust_object_detection_tpu.eval.detector_eval import (
+            BucketedPredict)
+
+        tm = liven(FasterRCNN(num_classes=7))
+        images = make_images(seed=23, sizes=(
+            (256, 320), (128, 160), (320, 256), (640, 512),
+            (256, 256), (384, 384)))
+        # eval-mode BN with liven()'s random running stats explodes through
+        # the 50-layer residual stack (O(1e4) activations saturate every
+        # head). Calibrate the stats during a REAL val run — the box-head
+        # BNs must see true pooled-feature statistics, not randn proxies
+        # (randn-calibrated box heads emit huge deltas that collapse a
+        # third of the boxes to sub-2px slivers).
+        calibrate_bn(tm, lambda: tv.frcnn_val(tm, images[:2],
+                                              self.MIN_SIDE, self.MAX_SIDE))
+        with torch.no_grad():
+            # boxes must stay near anchors/proposals: at He scale the
+            # decode's exp(clip 4.135) blows every box up to the image
+            tm.rpn.head.bbox_pred.weight *= 0.05
+            tm.rpn.head.bbox_pred.bias.zero_()
+            tm.roi_heads.box_predictor.bbox_pred.weight *= 0.05
+            tm.roi_heads.box_predictor.bbox_pred.bias.zero_()
+        # gain 0.3 spreads softmax scores over ~[0.25, 1.0]: a junk band
+        # below GT_CONF exists (the 0.05 score-threshold stage and the
+        # GT_CONF boundary are both exercised) without saturating ranks
+        sharpen_head([tm.roi_heads.box_predictor.cls_score],
+                     gain=0.3, bias=0.0)
+        torch_dets = tv.frcnn_val(tm, images, self.MIN_SIDE, self.MAX_SIDE)
+        gt = derive_gt(torch_dets)
+        assert sum(len(g[0]) for g in gt.values()) >= 20
+        root = write_testset(tmp_path_factory.mktemp("frcnn_ts"), images,
+                             gt)
+
+        fm = F.FasterRCNN(F.FrcnnConfig())
+        init = jax.jit(lambda k, x: fm.init(k, x, train=False))
+        fv = init(jax.random.key(0), np.zeros((1, 64, 64, 3), np.float32))
+        fv2, report = pretrained.import_frcnn(
+            {k: v.numpy() for k, v in tm.state_dict_torchvision().items()},
+            fv)
+        assert not report.skipped
+        state = TF.FrcnnTrainState(
+            params=fv2["params"], batch_stats=fv2["batch_stats"],
+            opt_state=(), step=jnp.asarray(0))
+        predict = BucketedPredict(
+            lambda bucket: jax.jit(TF.make_predict_step(fm, bucket)),
+            min_side=self.MIN_SIDE, max_side=self.MAX_SIDE, bucket_mult=32)
+        return torch_dets, gt, root, predict, state
+
+    def test_map_parity(self, setup):
+        torch_dets, gt, root, predict, state = setup
+        res_t = score_torch(torch_dets, gt)
+        res_f = run_flax_eval(predict, state, root, None)
+        assert res_t["mAP50"] > 0.85, res_t
+        assert abs(res_t["mAP50"] - res_f["mAP50"]) < 0.06, (res_t, res_f)
+
+    def test_detection_agreement(self, setup):
+        torch_dets, gt, root, predict, state = setup
+        flax_dets = run_flax_eval(predict, state, root, None, collect=True)
+        frac, tot = detection_agreement(torch_dets, flax_dets)
+        assert tot >= 20
+        assert frac > 0.8, (frac, tot)

@@ -175,13 +175,20 @@ def cmd_eval_fused(args):
     samples = pipe.index_coco(args.data_root, args.split)
     results = {}
     rows = []
+    parity = getattr(args, "mt19937_parity", "off")
     for name, (predict, state) in models.items():
         if isinstance(predict, BucketedPredict):
             raise SystemExit("--frcnn-native-res is not supported in the "
                              "fused sweep (single-canvas letterbox path)")
+        rng = None
+        if parity != "off":
+            # coco6 draws come AFTER the yolo6 layout's (same val images);
+            # see fused_sweep.frozen_noise_rng
+            rng = fused_sweep.frozen_noise_rng(
+                skip_splits=([samples] if parity == "coco6" else []))
         out = fused_sweep.run_fused_sweep(
             predict, state, unet_model, unet_vars, samples, args.img_size,
-            args.batch_size)
+            args.batch_size, mt19937_rng=rng)
         results[name] = out
         for strategy in fused_sweep.STRATEGIES:
             if strategy not in out:
@@ -383,6 +390,14 @@ def main(argv=None):
                                    "the restored stream (4 passes)"}),
         (("--img-size",), {"type": int, "default": 1024}),
         (("--batch-size",), {"type": int, "default": 8}),
+        (("--mt19937-parity",), {"default": "off",
+                                 "choices": ["off", "yolo6", "coco6"],
+                                 "help": "replay the frozen MT19937 noise "
+                                         "stream (host-drawn planes) for "
+                                         "this layout instead of device "
+                                         "Threefry — bit-parity with the "
+                                         "disk testsets on lossless "
+                                         "sources"}),
         (("--out",), {"default": "experiments"}))
 
     add("validate", cmd_validate,

@@ -86,7 +86,10 @@ def index_yolo(root: str | Path, split: str = "val") -> List[Sample]:
     from PIL import Image
     root = Path(root)
     samples = []
-    for i, p in enumerate(sorted((root / "images" / split).glob("*.jpg"))):
+    img_paths = sorted(p for p in (root / "images" / split).glob("*.*")
+                       if p.suffix.lower() in
+                       (".jpg", ".jpeg", ".png", ".bmp"))
+    for i, p in enumerate(img_paths):
         with Image.open(p) as im:
             w, h = im.size
         lbl = root / "labels" / split / (p.stem + ".txt")

@@ -167,7 +167,9 @@ def restore_testsets(testset_root: str | Path, unet_dir: str | Path,
                     str(src.resolve()), str(dst.resolve())))
             img_src = src / "images" / "val"
             img_dst = dst / "images" / "val"
-            paths = sorted(img_src.glob("*.jpg"))
+            paths = sorted(p for p in img_src.glob("*.*")
+                           if p.suffix.lower() in
+                           (".jpg", ".jpeg", ".png", ".bmp"))
             if variant in RESTORE_VARIANTS:
                 counts[f"{fmt}/{variant}"] = restore_images(
                     apply_fn, variables, paths, img_dst, batch_size,

@@ -17,11 +17,14 @@ from .visdrone import USED_CLASSES
 
 
 def make_det_split(root: str | Path, n_images: int = 6, seed: int = 0,
-                   size_range=((64, 128), (64, 128))) -> Path:
+                   size_range=((64, 128), (64, 128)),
+                   ext: str = "jpg") -> Path:
     """Create a VisDrone-DET-style split with random images + annotations.
 
     Includes the edge cases the reference handles: ignored rows (score 0),
     unused classes, out-of-bounds boxes needing clamping, and one empty image.
+    ext="png" gives a lossless source (the fused-sweep MT19937 bit-parity
+    tests need pixel-exact round trips through the testset builder).
     """
     from PIL import Image
     root = Path(root)
@@ -33,7 +36,8 @@ def make_det_split(root: str | Path, n_images: int = 6, seed: int = 0,
         w = int(rng.randint(*size_range[1]))
         img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
         name = f"img{i:04d}"
-        Image.fromarray(img).save(root / "images" / f"{name}.jpg", quality=95)
+        Image.fromarray(img).save(root / "images" / f"{name}.{ext}",
+                                  quality=95)
         lines = []
         if i != n_images - 1:  # last image left empty
             for _ in range(int(rng.randint(1, 6))):
@@ -76,4 +80,33 @@ def make_vid_split(root: str | Path, n_seqs: int = 2, frames_per_seq: int = 3,
                 lines.append(f"{f},{tid},{x},{y},8,8,1,{cat},0,0")
         (root / "annotations" / f"{seq}.txt").write_text(
             "\n".join(lines) + "\n")
+    return root
+
+
+def make_smooth_images(root: str | Path, n_images: int = 8, hw=(96, 96),
+                       seed: int = 0, ext: str = "png") -> Path:
+    """Natural-image stand-ins for restoration training: smooth gradients
+    plus soft discs. Random-pixel images carry no learnable structure (a
+    denoiser cannot beat the noise floor on white noise); these have the
+    low-frequency content the U-Net's learning-signal tests need
+    (reference trains on VisDrone frames — train_restoration.py:60-76)."""
+    from PIL import Image
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for i in range(n_images):
+        img = np.zeros((h, w, 3), np.float32)
+        for c in range(3):
+            gx, gy = rng.uniform(-1, 1, 2)
+            img[..., c] = 128 + gx * (xx - w / 2) * 128 / w \
+                + gy * (yy - h / 2) * 128 / h
+        for _ in range(int(rng.randint(2, 5))):   # soft discs
+            cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+            r = rng.uniform(h / 8, h / 3)
+            mask = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r))
+            img += mask[..., None] * rng.uniform(-80, 80, 3)
+        arr = np.clip(img, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / f"im{i:04d}.{ext}")
     return root

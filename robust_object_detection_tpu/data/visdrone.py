@@ -132,7 +132,9 @@ def iter_det_records(split_dir: str | Path) -> Iterator[ImageRecord]:
     split_dir = Path(split_dir)
     img_dir = split_dir / "images"
     ann_dir = split_dir / "annotations"
-    for img_path in sorted(img_dir.glob("*.jpg")):
+    for img_path in sorted(p for p in img_dir.glob("*.*")
+                           if p.suffix.lower() in
+                           (".jpg", ".jpeg", ".png", ".bmp")):
         w, h = _image_size(img_path)
         ann_path = ann_dir / (img_path.stem + ".txt")
         if ann_path.exists():

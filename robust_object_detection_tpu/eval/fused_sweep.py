@@ -24,10 +24,15 @@ the frozen-testset ops (ops/corrupt.py quantised variants, models/unet
 u8 re-quantisation), with two deliberate, documented deltas:
 
   * noise draws from the device PRNG (Threefry), not the frozen MT19937
-    stream — distribution-identical; bit-parity with the frozen testsets
-    requires the disk path (data/testsets.py);
+    stream — distribution-identical; bit-parity with the frozen stream is
+    available via ``mt19937_rng`` (host-drawn noise planes shipped with
+    the clean batch — the noise stage is the ONLY MT19937 consumer, so
+    blur/lowres/U-Net/detect stay fused);
   * no JPEG round trip between stages — the detector and U-Net see exact
-    uint8 pixel values rather than JPEG-requantised ones.
+    uint8 pixel values rather than JPEG-requantised ones. On
+    lossless-source testsets (PNG) the mt19937_rng mode reproduces the
+    disk path bit-for-bit (tests/test_fused_sweep.py parity test); JPEG
+    requantisation is the sole remaining delta on .jpg testsets.
 
 Reference counterpart: the eval_all.py + eval_restored.py sweep over
 build_corrupted_testsets.py + restore_testsets.py outputs (SURVEY.md §3.4,
@@ -58,8 +63,8 @@ STRATEGIES = ("corrupted", "restored")
 
 @functools.lru_cache(maxsize=None)
 def make_fused_step(predict_fn: Callable, unet_model, native_hw: Tuple[int, int],
-                    img_size: int, cfg: CorruptionConfig = CorruptionConfig()
-                    ) -> Callable:
+                    img_size: int, cfg: CorruptionConfig = CorruptionConfig(),
+                    host_noise: bool = False) -> Callable:
     """Build the per-batch fused sweep step for one native image size.
 
     predict_fn(det_state, images) -> (boxes, scores, classes, valid) on an
@@ -72,6 +77,11 @@ def make_fused_step(predict_fn: Callable, unet_model, native_hw: Tuple[int, int]
     (boxes (P,B,K,4) canvas coords, scores (P,B,K), classes (P,B,K),
     valid (P,B,K)) with P = 8 (or 4 without a U-Net); pass order is
     corrupted[Clean,Noise,Blur,LowRes] then restored[same order].
+
+    host_noise=True swaps the step's `key` argument for a host-drawn f32
+    noise-plane batch (B, H, W, 3) added to the clean pixels — the
+    MT19937-parity mode (run_fused_sweep mt19937_rng). Same clip/truncate
+    quantisation as the frozen-testset builder.
 
     H and W must be even (the on-device 0.5x lowres is an exact 2x2 box
     mean); odd native sizes should be reflect-padded by the caller before
@@ -90,7 +100,10 @@ def make_fused_step(predict_fn: Callable, unet_model, native_hw: Tuple[int, int]
         x = clean_u8.astype(jnp.float32)                       # (B, H, W, 3)
         # quantised f32 in [0,255]: identical values to the u8 pixels the
         # frozen testsets hold BEFORE their JPEG encode
-        noised = corrupt_ops.apply_noise(x, key, cfg.noise_sigma)
+        if host_noise:  # `key` is the (B, H, W, 3) f32 noise-plane batch
+            noised = image_ops.quantize_trunc(x + key)
+        else:
+            noised = corrupt_ops.apply_noise(x, key, cfg.noise_sigma)
         blurred = corrupt_ops.apply_motion_blur(
             x, cfg.blur_kernel, cfg.blur_angle_deg)
         low = corrupt_ops.apply_lowres(x, cfg.downscale_factor)
@@ -122,10 +135,60 @@ def make_fused_step(predict_fn: Callable, unet_model, native_hw: Tuple[int, int]
     return jax.jit(step)
 
 
+def frozen_noise_rng(skip_splits: Sequence[Sequence] = (),
+                     sigma: float = 15.0,
+                     seed: int = 42) -> "np.random.RandomState":
+    """RandomState positioned at the frozen noise stream for one layout.
+
+    The disk builder threads ONE RandomState(42) across layouts, yolo6
+    first then coco6 (data/testsets.build_all; the reference seeds once in
+    main() — build_corrupted_testsets.py:169-173). To replay the coco6
+    layout's draws, pass the yolo6 split's samples (the same val images)
+    as skip_splits so their draws are consumed first; for yolo6, pass
+    nothing.
+    """
+    rng = np.random.RandomState(seed)
+    for split in skip_splits:
+        for s in sorted(split, key=lambda s: Path(s.image_path).name):
+            rng.normal(0.0, sigma, (s.height, s.width, 3))
+    return rng
+
+
+def _mt19937_states(samples: Sequence, sigma: float,
+                    rng: "np.random.RandomState") -> Dict[int, tuple]:
+    """Per-sample MT19937 state snapshots for frozen-stream noise replay.
+
+    The disk builder threads ONE RandomState across images in sorted file
+    order, Noise being the only consumer (data/testsets.py:95-125,
+    build_corrupted_testsets.py:41-45). Snapshot the state before each
+    image's draw (keyed by image_id), advancing by drawing — MT19937
+    normals can't be skipped deterministically (polar-method rejection),
+    so the stream is drawn twice overall: once here to position, once at
+    batch assembly to materialise. `rng` must be positioned at the stream
+    start for this split (RandomState(42) fresh for the yolo6 layout; the
+    coco6 layout continues after all yolo6 draws — build_all semantics).
+    """
+    states: Dict[int, tuple] = {}
+    for s in sorted(samples, key=lambda s: Path(s.image_path).name):
+        states[int(s.image_id)] = rng.get_state()
+        rng.normal(0.0, sigma, (s.height, s.width, 3))
+    return states
+
+
+def _draw_noise(state: tuple, sigma: float, h: int, w: int) -> np.ndarray:
+    """One frozen-stream noise plane, channel-reversed BGR->RGB (the
+    reference draws onto cv2 BGR arrays; data/testsets.py:110-119)."""
+    r = np.random.RandomState()
+    r.set_state(state)
+    return np.ascontiguousarray(
+        r.normal(0.0, sigma, (h, w, 3)).astype(np.float32)[..., ::-1])
+
+
 def run_fused_sweep(predict_fn: Callable, det_state, unet_model, unet_vars,
                     samples: Sequence, img_size: int, batch_size: int,
                     cfg: CorruptionConfig = CorruptionConfig(),
-                    seed: int = 0, num_threads: int = 8) -> Dict:
+                    seed: int = 0, num_threads: int = 8,
+                    mt19937_rng=None) -> Dict:
     """The full fused 8-pass sweep over an indexed clean val split.
 
     samples: data/pipeline.Sample list (the CLEAN images — corrupted
@@ -135,6 +198,14 @@ def run_fused_sweep(predict_fn: Callable, det_state, unet_model, unet_vars,
     batch k (double-buffered dispatch, one fetch per batch of small
     detection tensors).
 
+    mt19937_rng: optional np.random.RandomState positioned at the frozen
+    noise stream's start for this split. When given, noise planes are
+    host-drawn from the frozen MT19937 stream (exactly the disk builder's
+    draws) and shipped with the clean batch, instead of device Threefry —
+    on lossless-source testsets the sweep then reproduces the disk path
+    bit-for-bit. Costs one extra f32 image upload per batch plus two host
+    draws per image (see _mt19937_states).
+
     Returns {"corrupted": {variant: summary}, "restored": {...},
              "images_per_sec": float, "images_evaluated": int} with the
     same per-variant summary dict shape as detector_eval (mAP50/mAP50_95/
@@ -142,6 +213,9 @@ def run_fused_sweep(predict_fn: Callable, det_state, unet_model, unet_vars,
     """
     from concurrent.futures import ThreadPoolExecutor
     from ..data.pipeline import load_image_rgb
+
+    noise_states = (None if mt19937_rng is None else
+                    _mt19937_states(samples, cfg.noise_sigma, mt19937_rng))
 
     groups: Dict[Tuple[int, int], List] = {}
     for s in samples:
@@ -160,7 +234,7 @@ def run_fused_sweep(predict_fn: Callable, det_state, unet_model, unet_vars,
         pending = []
         for (h, w), group in sorted(groups.items()):
             step = make_fused_step(predict_fn, unet_model, (h, w), img_size,
-                                   cfg)
+                                   cfg, host_noise=noise_states is not None)
             scale = min(img_size / h, img_size / w)
             for start in range(0, len(group), batch_size):
                 chunk = group[start:start + batch_size]
@@ -168,7 +242,17 @@ def run_fused_sweep(predict_fn: Callable, det_state, unet_model, unet_vars,
                 batch = np.zeros((batch_size, h, w, 3), np.uint8)
                 for i, im in enumerate(imgs):
                     batch[i] = im
-                key, sub = jax.random.split(key)
+                if noise_states is None:
+                    key, sub = jax.random.split(key)
+                else:
+                    planes = list(pool.map(
+                        lambda s: _draw_noise(
+                            noise_states[int(s.image_id)],
+                            cfg.noise_sigma, h, w), chunk))
+                    nb = np.zeros((batch_size, h, w, 3), np.float32)
+                    for i, p in enumerate(planes):
+                        nb[i] = p
+                    sub = jnp.asarray(nb)
                 outs = step(det_state, unet_vars, jnp.asarray(batch), sub)
                 pending.append((chunk, scale, outs))
         # one fetch per batch, all dispatched: detection tensors are small

@@ -71,9 +71,11 @@ class PatchDataset:
 
     def __init__(self, img_dir: str | Path, patch: int = 256,
                  train: bool = True, seed: int = 42):
-        self.paths = sorted(Path(img_dir).glob("*.jpg"))
+        self.paths = sorted(p for p in Path(img_dir).glob("*.*")
+                            if p.suffix.lower() in
+                            (".jpg", ".jpeg", ".png", ".bmp"))
         if not self.paths:
-            raise FileNotFoundError(f"no jpgs under {img_dir}")
+            raise FileNotFoundError(f"no images under {img_dir}")
         self.patch = patch
         self.train = train
         self.seed = seed

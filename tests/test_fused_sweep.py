@@ -99,6 +99,94 @@ def test_run_fused_sweep_summaries(setup, tmp_path):
             == out["corrupted"]["Test_Clean"]["mAP50"])
 
 
+@pytest.mark.slow
+def test_mt19937_parity_vs_disk_path(setup, tmp_path):
+    """The fused sweep in mt19937_rng mode reproduces the disk path.
+
+    Lossless PNG sources at native size == canvas size (scale-1 letterbox
+    on both paths), so every stage is pixel-exact end to end: the only
+    fused-vs-disk deltas the module documents (Threefry noise, JPEG round
+    trips) are both removed here, and the 8-pass summaries must be EQUAL,
+    not close.
+    """
+    from robust_object_detection_tpu.data import restore, testsets as ts
+    from robust_object_detection_tpu.eval import detector_eval as DE
+    from robust_object_detection_tpu.train import restoration as rtrain
+    from robust_object_detection_tpu.core.config import (ExperimentConfig,
+                                                         MeshConfig,
+                                                         RestorationConfig)
+    from PIL import Image
+
+    _, state, predict, _, _ = setup
+    det_split = synthetic.make_det_split(
+        tmp_path / "raw", n_images=4, size_range=((IMG, IMG + 1),) * 2,
+        ext="png")
+    proc = tmp_path / "proc"
+    convert.convert_det_to_coco(det_split, proc / "visdrone_coco6", "val")
+    convert.convert_det_to_yolo(det_split, proc / "visdrone_yolo6", "val")
+    ts.build_all(proc, tmp_path / "testsets")
+
+    # tiny U-Net checkpoint shared by both legs
+    cfg = ExperimentConfig(
+        restoration=RestorationConfig(channels=(8, 16), patch_size=32,
+                                      epochs=1, batch_size=8, val_every=1),
+        mesh=MeshConfig(data=jax.device_count(), model=1))
+    unet_dir = tmp_path / "unet"
+    rtrain.train(cfg, proc / "visdrone_coco6" / "images" / "val",
+                 proc / "visdrone_coco6" / "images" / "val",
+                 out_dir=unet_dir, max_steps=2)
+    umodel, uvars = rtrain.load_best(unet_dir, (8, 16))
+
+    samples = pipe.index_coco(proc / "visdrone_coco6", "val")
+
+    # leg 0: the frozen Test_Noise images ARE the replayed stream's draws
+    # (positions the coco6 stream after the yolo6 layout's — same images)
+    rng = fused_sweep.frozen_noise_rng(skip_splits=[samples])
+    for s in sorted(samples, key=lambda s: s.image_path.name):
+        n = rng.normal(0.0, 15.0, (s.height, s.width, 3)).astype(np.float32)
+        clean = np.asarray(Image.open(s.image_path).convert("RGB"))
+        expect = np.clip(clean.astype(np.float32) + n[..., ::-1],
+                         0, 255).astype(np.uint8)
+        disk = np.asarray(Image.open(
+            tmp_path / "testsets" / "coco6" / "Test_Noise" / "images" /
+            "val" / s.image_path.name).convert("RGB"))
+        np.testing.assert_array_equal(expect, disk, err_msg=s.image_path.name)
+
+    # leg 1: disk path — restore the testsets, eval all 8 (variant, strategy)
+    restore.restore_testsets(tmp_path / "testsets", unet_dir,
+                             channels=(8, 16), batch_size=4)
+    disk_out = {}
+    for strategy, layout in (("corrupted", "coco6"),
+                             ("restored", "coco6_restored")):
+        disk_out[strategy] = {}
+        for variant in fused_sweep.TESTSET_VARIANTS:
+            vs = pipe.index_coco(
+                tmp_path / "testsets" / layout / variant, "val")
+            disk_out[strategy][variant] = DE.evaluate_on_samples(
+                predict, state, vs, IMG, batch_size=2)
+
+    # leg 2: fused sweep with the frozen stream replayed on host
+    fused_out = fused_sweep.run_fused_sweep(
+        predict, state, umodel, uvars, samples, IMG, batch_size=2,
+        mt19937_rng=fused_sweep.frozen_noise_rng(skip_splits=[samples]))
+
+    for strategy in fused_sweep.STRATEGIES:
+        for variant in fused_sweep.TESTSET_VARIANTS:
+            f, d = fused_out[strategy][variant], disk_out[strategy][variant]
+            for k in ("mAP50", "mAP50_95", "per_class_ap50", "images"):
+                assert f[k] == d[k], (strategy, variant, k, f[k], d[k])
+    assert fused_out["images_evaluated"] == 4 * 8
+    # non-vacuous: the random-init model at conf=0.001 emits detections
+    h0, w0 = samples[0].height, samples[0].width
+    step = fused_sweep.make_fused_step(predict, umodel, (h0, w0), IMG,
+                                       host_noise=True)
+    clean0 = np.asarray(Image.open(samples[0].image_path).convert("RGB"))
+    _, _, _, valid = jax.device_get(step(
+        state, uvars, jnp.asarray(clean0[None]),
+        jnp.zeros((1, h0, w0, 3), jnp.float32)))
+    assert valid.sum() > 0
+
+
 def test_run_fused_sweep_without_unet(setup, tmp_path):
     _, state, predict, _, _ = setup
     split = synthetic.make_det_split(tmp_path / "raw", n_images=2,

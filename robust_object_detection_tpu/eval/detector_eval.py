@@ -252,19 +252,41 @@ def sweep(models: Dict[str, tuple], testset_root: str | Path,
           img_size: int, batch_size: int, out_dir: str | Path,
           ctx: Optional[mesh_lib.MeshContext] = None,
           layout: str = "coco6",
-          results_name: str = "eval_results") -> Dict:
+          results_name: str = "eval_results",
+          resume: bool = True) -> Dict:
     """The full (model x testset) sweep + artifact output.
 
     models: name -> (predict_fn, state). Writes <out_dir>/<results_name>.json
     and .csv in the reference's shape (eval_all.py:322-376) and prints the
     summary/degradation tables (eval_all.py:262-319).
+
+    Preemption-safe: each (model, testset) cell is persisted to
+    <results_name>.partial.json the moment it is scored; a restarted sweep
+    skips completed cells (no predict compile for them) and finalises as
+    usual, removing the partial file once the full artifacts land. The
+    reference's eval_all.py restarts from zero on any failure (SURVEY.md §5
+    failure-detection row); resume=False restores that behaviour.
     """
+    import json
     out_dir = Path(out_dir)
+    partial_path = out_dir / f"{results_name}.partial.json"
+    done: Dict[str, Dict] = {}
+    if resume and partial_path.exists():
+        done = json.loads(partial_path.read_text())
     results: Dict[str, Dict[str, Dict]] = {}
     for name, (predict_fn, state) in models.items():
-        results[name] = evaluate_testsets(
-            predict_fn, state, testset_root, img_size, batch_size, ctx,
-            layout=layout)
+        per_variant: Dict[str, Dict] = {}
+        for variant in TESTSET_VARIANTS:
+            cell = f"{name}/{variant}"
+            if cell in done:
+                per_variant[variant] = done[cell]
+                continue
+            per_variant.update(evaluate_testsets(
+                predict_fn, state, testset_root, img_size, batch_size, ctx,
+                variants=(variant,), layout=layout))
+            done[cell] = per_variant[variant]
+            artifacts.write_json(partial_path, done)
+        results[name] = per_variant
 
     rows = []
     for name, per_variant in results.items():
@@ -276,6 +298,7 @@ def sweep(models: Dict[str, tuple], testset_root: str | Path,
             rows.append(row)
     artifacts.write_json(out_dir / f"{results_name}.json", results)
     artifacts.write_csv(out_dir / f"{results_name}.csv", rows)
+    partial_path.unlink(missing_ok=True)
 
     print(artifacts.format_table(
         ["model", "testset", "mAP50", "mAP50_95", "img/s"],

@@ -152,6 +152,43 @@ def test_sweep_prints_all_tables(pipeline_root, tmp_path, capsys):
         assert cname in out
 
 
+def test_sweep_resumes_after_preemption(pipeline_root, tmp_path):
+    """A killed sweep resumes from its partial file: completed (model,
+    testset) cells are not re-evaluated, final artifacts land, and the
+    partial file is removed (SURVEY.md §5 failure-detection row — the
+    reference restarts eval_all.py from zero)."""
+    calls = {"n": 0}
+
+    def make_predict(bomb_at=None):
+        def predict(_, images):
+            calls["n"] += 1
+            if bomb_at is not None and calls["n"] >= bomb_at:
+                raise KeyboardInterrupt("preempted")
+            b = images.shape[0]
+            return (np.zeros((b, 8, 4), np.float32),
+                    np.zeros((b, 8), np.float32),
+                    np.zeros((b, 8), np.int32), np.zeros((b, 8), bool))
+        return predict
+
+    out = tmp_path / "out"
+    # 6 images at bs=2 -> 3 predict calls per variant; call 8 is mid-Blur
+    with pytest.raises(KeyboardInterrupt):
+        DE.sweep({"m_baseline": (make_predict(bomb_at=8), None)},
+                 pipeline_root / "testsets", 64, 2, out)
+    partial = out / "eval_results.partial.json"
+    assert partial.exists()
+    done = json.loads(partial.read_text())
+    assert set(done) == {"m_baseline/Test_Clean", "m_baseline/Test_Noise"}
+
+    calls["n"] = 0
+    DE.sweep({"m_baseline": (make_predict(), None)},
+             pipeline_root / "testsets", 64, 2, out)
+    assert calls["n"] == 6          # only Blur + LowRes re-ran (3 batches each)
+    assert not partial.exists()
+    results = json.loads((out / "eval_results.json").read_text())
+    assert set(results["m_baseline"]) == set(DE.TESTSET_VARIANTS)
+
+
 def test_figures_and_demo(pipeline_root, tmp_path):
     from robust_object_detection_tpu.report import demo, plots
 

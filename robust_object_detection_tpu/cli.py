@@ -461,6 +461,10 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_plot)
 
     args = p.parse_args(argv)
+    # multi-host entry: env-driven jax.distributed.initialize (no-op on a
+    # single host) — must precede the first backend touch in any command
+    from .parallel import distributed
+    distributed.maybe_initialize()
     args.fn(args)
 
 

@@ -34,17 +34,32 @@ class CheckpointManager:
         payload = {"state": state}
         if extra:
             payload["extra"] = extra
+        if self._mgr.latest_step() == step:
+            # re-save at the same key: an epoch-end save landing on the
+            # same global step as an aligned mid-epoch save (save_every_steps
+            # dividing steps_per_epoch)
+            self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore_last(self, abstract_state: Any) -> Optional[Dict[str, Any]]:
+    def restore_last(self, abstract_state: Any,
+                     abstract_extra: Optional[Dict[str, Any]] = None,
+                     ) -> Optional[Dict[str, Any]]:
+        """Restore the rolling checkpoint (None if absent).
+
+        abstract_extra: shape skeleton of the `extra` dict, when the saver
+        wrote one (mid-epoch resume metadata) — must match what save_last
+        stored, orbax restores by tree structure.
+        """
         step = self._mgr.latest_step()
         if step is None:
             return None
-        target = {"state": abstract_state}
+        target = {"state": _with_default_sharding(abstract_state)}
+        if abstract_extra is not None:
+            target["extra"] = abstract_extra
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
         restored["step"] = step
         return restored
@@ -58,12 +73,20 @@ class CheckpointManager:
         if not improved:
             return False
         ckptr = ocp.StandardCheckpointer()
-        if self._best_dir.exists():
+        # multi-host: primary clears the stale dir, everyone barriers, the
+        # save itself is collective (orbax coordinates shard writes); the
+        # meta json is a primary-only artifact
+        if jax.process_index() == 0 and self._best_dir.exists():
             import shutil
             shutil.rmtree(self._best_dir)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("rod_best_rm")
         ckptr.save(self._best_dir, {"state": state})
         ckptr.wait_until_finished()
-        self._best_meta.write_text(json.dumps({"step": step, "metric": metric}))
+        if jax.process_index() == 0:
+            self._best_meta.write_text(
+                json.dumps({"step": step, "metric": metric}))
         return True
 
     def best_metric(self) -> Optional[float]:
@@ -75,11 +98,32 @@ class CheckpointManager:
         if not self._best_dir.exists():
             return None
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(self._best_dir, {"state": abstract_state})
+        restored = ckptr.restore(
+            self._best_dir, {"state": _with_default_sharding(abstract_state)})
         return restored["state"]
 
     def close(self) -> None:
         self._mgr.close()
+
+
+def _with_default_sharding(tree: Any) -> Any:
+    """Give sharding-less ShapeDtypeStruct leaves a current-topology home.
+
+    A checkpoint saved on one topology (a multi-host pod, a different
+    device count) records device ids the restoring host may not have;
+    orbax then refuses to infer shardings from the file. Abstract restore
+    targets get the local default device so cross-topology restores work
+    (save on a pod -> load on one chip). Concrete-array targets keep their
+    own shardings (the same-topology resume path)."""
+    dev = jax.local_devices()[0]
+    s = jax.sharding.SingleDeviceSharding(dev)
+
+    def f(x):
+        if isinstance(x, jax.ShapeDtypeStruct) and x.sharding is None:
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+        return x
+
+    return jax.tree.map(f, tree)
 
 
 def abstract_like(tree: Any) -> Any:

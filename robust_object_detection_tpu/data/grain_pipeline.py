@@ -60,13 +60,22 @@ def make_batches_grain(samples: Sequence[pipe.Sample], batch_size: int,
     """
     import grain.python as gp
 
+    if shard_options is None:
+        # multi-host default: each process reads only its record shard
+        # (parallel/distributed.grain_shard_options); single host: all
+        import jax
+        if jax.process_count() > 1:
+            from ..parallel import distributed as dist
+            shard_options = dist.grain_shard_options()
+        else:
+            shard_options = gp.NoSharding()
     source = _SampleSource(samples, image_size, max_boxes)
     sampler = gp.IndexSampler(
         num_records=len(source),
         shuffle=shuffle,
         seed=seed,
         num_epochs=1,
-        shard_options=shard_options or gp.NoSharding())
+        shard_options=shard_options)
     loader = gp.DataLoader(
         data_source=source,
         sampler=sampler,

@@ -233,9 +233,18 @@ def prefetch(it: Iterator, depth: int = 2) -> Iterator:
 
 def device_put_sharded(batch: Batch, sharding=None):
     """Move a Batch's arrays to device(s). With a NamedSharding over a data
-    axis, each chip receives only its shard (host->HBM once, no reshuffle)."""
+    axis, each chip receives only its shard (host->HBM once, no reshuffle).
+
+    Multi-host: when more than one process is attached (jax.distributed),
+    `batch` is this process's LOCAL slice of the global batch
+    (parallel/distributed.{shard_samples,local_batch_size}) and the global
+    array is assembled from each process's shard without any cross-host
+    data movement (jax.make_array_from_process_local_data)."""
     import jax
     arrays = (batch.images, batch.boxes, batch.classes, batch.scales)
     if sharding is None:
         return tuple(jax.device_put(a) for a in arrays)
+    if jax.process_count() > 1:
+        return tuple(jax.make_array_from_process_local_data(sharding, a)
+                     for a in arrays)
     return tuple(jax.device_put(a, sharding) for a in arrays)

@@ -79,6 +79,22 @@ def shard_params(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
+def replicate_tree(ctx: "MeshContext", tree: Any) -> Any:
+    """Replicate a host/state pytree across the (possibly multi-host) mesh.
+
+    Single process: plain device_put with the replicated sharding. Multi
+    process: device_put can't target non-addressable devices, so each
+    process contributes its identical full copy via
+    jax.make_array_from_process_local_data (P() spec: local == global).
+    """
+    s = ctx.replicated
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), tree)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
 def pad_batch_to(batch_arrays: Any, multiple: int) -> Any:
     """Pad leading dim up to a multiple (so it divides the data axis)."""
     def pad(x):

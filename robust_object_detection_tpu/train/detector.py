@@ -189,7 +189,8 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
           val_interval: int = 1,
           pretrained: Optional[str] = None,
           dtype: Optional[str] = None,
-          allow_pickle: bool = False) -> dict:
+          allow_pickle: bool = False,
+          save_every_steps: Optional[int] = None) -> dict:
     """Train a YOLO detector — see _train_impl for the full docstring.
 
     dtype: computation dtype, "bfloat16" (default; the reference trains
@@ -213,14 +214,14 @@ def train(cfg: ExperimentConfig, data_root: str | Path,
             batch_size, max_steps, max_boxes, layout, base_augment,
             mosaic, close_mosaic, val_interval, pretrained,
             jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
-            allow_pickle)
+            allow_pickle, save_every_steps)
 
 
 def _train_impl(cfg: ExperimentConfig, data_root, out_dir, augment,
                 variant, epochs, img_size, batch_size, max_steps,
                 max_boxes, layout, base_augment, mosaic, close_mosaic,
                 val_interval, pretrained, model_dtype,
-                allow_pickle=False) -> dict:
+                allow_pickle=False, save_every_steps=None) -> dict:
     """Train a YOLO detector on a COCO- or YOLO-layout dataset root.
 
     layout="yolo" covers the VID experiments: VisDrone-VID sequences are
@@ -240,15 +241,17 @@ def _train_impl(cfg: ExperimentConfig, data_root, out_dir, augment,
     (train_yolo_augmented.py:25). Class-count-mismatched head layers keep
     their fresh init.
     """
+    from ..parallel import distributed as dist
     tcfg = cfg.train
     epochs = epochs or tcfg.epochs
     img_size = img_size or cfg.data.image_size
     batch_size = batch_size or tcfg.batch_size
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    artifacts.write_json(out_dir / "config.json", dict(
-        dataclasses.asdict(cfg), augment=augment, variant=variant,
-        img_size=img_size, batch_size=batch_size, epochs=epochs))
+    if dist.is_primary():
+        artifacts.write_json(out_dir / "config.json", dict(
+            dataclasses.asdict(cfg), augment=augment, variant=variant,
+            img_size=img_size, batch_size=batch_size, epochs=epochs))
 
     mesh = mesh_lib.make_mesh(cfg.mesh)
     ctx = mesh_lib.MeshContext(mesh)
@@ -257,6 +260,13 @@ def _train_impl(cfg: ExperimentConfig, data_root, out_dir, augment,
                      if layout == "coco"
                      else pipe.index_yolo(data_root, "train"))
     steps_per_epoch = max(1, len(train_samples) // batch_size)
+    # multi-host: this process decodes only its row shard and its slice of
+    # the global batch; device_put_sharded assembles the global arrays and
+    # the data-axis grad psum rides ICI within hosts / DCN across them.
+    # batch_size stays the GLOBAL batch (steps_per_epoch is unchanged:
+    # local_len/local_bs == global_len/global_bs). Single process: no-ops.
+    local_bs = dist.local_batch_size(batch_size)
+    train_samples = dist.shard_samples(train_samples)
     total_steps = epochs * steps_per_epoch
 
     model = yolo_lib.create(6, variant, dtype=model_dtype)
@@ -276,7 +286,7 @@ def _train_impl(cfg: ExperimentConfig, data_root, out_dir, augment,
             newv["params"], newv["batch_stats"],
             jax.tree.map(jnp.copy, newv["params"]),
             tx.init(newv["params"]), jnp.asarray(0))
-    state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
+    state = mesh_lib.replicate_tree(ctx, state)
 
     train_step = jax.jit(
         make_train_step(model, tx, img_size, cfg.corruption, augment,
@@ -300,18 +310,30 @@ def _train_impl(cfg: ExperimentConfig, data_root, out_dir, augment,
     mean_loss = 0.0     # survives a resume of an already-complete run
     start_epoch = 1
     # restore-and-continue (the reference rewrites last.pth but cannot
-    # resume — SURVEY.md §5 checkpoint/resume)
-    restored = ckpt.restore_last({
-        "params": state.params, "batch_stats": state.batch_stats,
-        "ema_params": state.ema_params, "opt_state": state.opt_state,
-        "step": state.step})
+    # resume — SURVEY.md §5 checkpoint/resume). Checkpoints are keyed by
+    # GLOBAL step with {epoch, batch_in_epoch, epoch_done} metadata: a run
+    # killed mid-epoch (with save_every_steps set) resumes at the exact
+    # batch — the shuffle order is seed+epoch deterministic and the train
+    # step's PRNG folds in state.step, so the resumed stream is the one
+    # the uninterrupted run would have seen. (The resumed epoch's logged
+    # train_loss averages only the post-resume batches.)
+    skip_batches = 0
+    restored = ckpt.restore_last(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "ema_params": state.ema_params, "opt_state": state.opt_state,
+         "step": state.step},
+        abstract_extra={"epoch": 0, "batch_in_epoch": 0, "epoch_done": True})
     if restored is not None:
         r = restored["state"]
         state = DetTrainState(r["params"], r["batch_stats"],
                               r["ema_params"], r["opt_state"], r["step"])
-        state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated),
-                             state)
-        start_epoch = restored["step"] + 1
+        state = mesh_lib.replicate_tree(ctx, state)
+        ex = restored["extra"]
+        if bool(np.asarray(ex["epoch_done"])):
+            start_epoch = int(ex["epoch"]) + 1
+        else:
+            start_epoch = int(ex["epoch"])
+            skip_batches = int(ex["batch_in_epoch"])
         steps = int(jax.device_get(state.step))
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
@@ -322,18 +344,34 @@ def _train_impl(cfg: ExperimentConfig, data_root, out_dir, augment,
         if use_mosaic:
             from . import augment as aug
             batch_iter = aug.mosaic_batches(
-                train_samples, batch_size, img_size, max_boxes=max_boxes,
+                train_samples, local_bs, img_size, max_boxes=max_boxes,
                 seed=tcfg.seed + epoch)
         else:
             batch_iter = pipe.make_batches(
-                train_samples, batch_size, img_size, max_boxes=max_boxes,
+                train_samples, local_bs, img_size, max_boxes=max_boxes,
                 shuffle=True, seed=tcfg.seed + epoch, drop_remainder=True)
+        k = 0
+        if skip_batches:
+            import itertools
+            batch_iter = itertools.islice(batch_iter, skip_batches, None)
+            k = skip_batches
+            skip_batches = 0
         batches = pipe.prefetch(batch_iter)
         for batch in batches:
             args = pipe.device_put_sharded(batch, ctx.data)
             state, metrics = train_step(state, args[0], args[1], args[2], key)
             losses.append(metrics["loss"])
             steps += 1
+            k += 1
+            if save_every_steps and steps % save_every_steps == 0:
+                ckpt.save_last(
+                    steps, {"params": state.params,
+                            "batch_stats": state.batch_stats,
+                            "ema_params": state.ema_params,
+                            "opt_state": state.opt_state,
+                            "step": state.step},
+                    extra={"epoch": epoch, "batch_in_epoch": k,
+                           "epoch_done": False})
             if max_steps and steps >= max_steps:
                 break
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
@@ -347,12 +385,17 @@ def _train_impl(cfg: ExperimentConfig, data_root, out_dir, augment,
                                            max_boxes=max_boxes)
             record.update(vm)
             ckpt.save_best(epoch, _ckpt_payload(state), vm["mAP50"])
-        hist.log(**record)
-        ckpt.save_last(epoch, {"params": state.params,
+        if dist.is_primary():
+            hist.log(**record)
+        # checkpoint saves stay COLLECTIVE: in a multi-host run every
+        # process must call into orbax (it coordinates shard writes)
+        ckpt.save_last(steps, {"params": state.params,
                                "batch_stats": state.batch_stats,
                                "ema_params": state.ema_params,
                                "opt_state": state.opt_state,
-                               "step": state.step})
+                               "step": state.step},
+                       extra={"epoch": epoch, "batch_in_epoch": k,
+                              "epoch_done": True})
         if max_steps and steps >= max_steps:
             break
     if ckpt.best_metric() is None:
@@ -389,7 +432,8 @@ def load_checkpoint(out_dir: str | Path, variant: str = "m",
         full = dict(target,
                     opt_state=jax.eval_shape(tx.init, variables["params"]),
                     step=jnp.asarray(0))
-        latest = ckpt.restore_last(full)
+        latest = ckpt.restore_last(full, abstract_extra={
+            "epoch": 0, "batch_in_epoch": 0, "epoch_done": True})
         if latest is None:
             ckpt.close()
             raise FileNotFoundError(f"no checkpoint under {out_dir}")

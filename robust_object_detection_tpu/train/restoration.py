@@ -179,7 +179,11 @@ def make_eval_step(model, corruption: CorruptionConfig):
                            "batch_stats": state.batch_stats},
                           corrupted, train=False)
         return {"psnr": ssim_ops.psnr(out, clean),
-                "ssim": ssim_ops.ssim(out, clean)}
+                "ssim": ssim_ops.ssim(out, clean),
+                # corrupted-input baseline: restoration must BEAT this,
+                # not just be positive (docs/06_restoration_experiment.md
+                # reports the corrupted-vs-restored PSNR delta)
+                "psnr_in": ssim_ops.psnr(corrupted, clean)}
     return step
 
 
@@ -243,14 +247,16 @@ def train(cfg: ExperimentConfig, train_dir: str | Path, val_dir: str | Path,
                   "lr": float(sched(total_steps)),
                   "epoch_sec": round(time.time() - t0, 2)}
         if epoch % rcfg.val_every == 0 or epoch == rcfg.epochs or max_steps:
-            psnrs, ssims = [], []
+            psnrs, ssims, psnrs_in = [], [], []
             for vi, batch in enumerate(val_ds.batches(rcfg.batch_size)):
                 b = jax.device_put(batch, ctx.data)
                 m = eval_step(state, b, jax.random.fold_in(root_key, vi))
                 psnrs.append(m["psnr"])
                 ssims.append(m["ssim"])
+                psnrs_in.append(m["psnr_in"])
             record["val_psnr"] = float(jnp.mean(jnp.stack(psnrs)))
             record["val_ssim"] = float(jnp.mean(jnp.stack(ssims)))
+            record["val_psnr_in"] = float(jnp.mean(jnp.stack(psnrs_in)))
             if record["val_psnr"] > best["psnr"]:
                 best = {"psnr": record["val_psnr"],
                         "ssim": record["val_ssim"], "epoch": epoch}

@@ -86,3 +86,57 @@ def test_train_smoke_sharded(tmp_path):
     model, variables = rtrain.load_best(tmp_path / "run")
     y = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
     assert y.shape == (1, 64, 64, 3)
+
+
+def test_unet_learns_to_restore(tmp_path, monkeypatch):
+    """Learning-signal test (VERDICT r3 #4): a few hundred steps on smooth
+    synthetic images must give restored PSNR > corrupted PSNR + 2 dB on
+    noise-sigma15 pairs — the published-figure measurement shape
+    (docs/06_restoration_experiment.md:53-58 reports 34.03 dB restored vs
+    the corrupted baseline). The val trajectory (val_psnr / val_psnr_in)
+    lands in history.jsonl, so the real-data run is a config change only.
+    """
+    from PIL import Image
+    from robust_object_detection_tpu.core import artifacts
+    from robust_object_detection_tpu.data import synthetic
+    from robust_object_detection_tpu.ops import ssim as ssim_ops
+    from robust_object_detection_tpu.train import restoration as rtrain
+
+    from robust_object_detection_tpu.ops import corrupt as corrupt_ops
+
+    synthetic.make_smooth_images(tmp_path / "imgs" / "train", n_images=16,
+                                 hw=(64, 64), seed=0)
+    synthetic.make_smooth_images(tmp_path / "imgs" / "val", n_images=8,
+                                 hw=(64, 64), seed=1)
+    # noise-sigma15 pairs only (the VERDICT-prescribed setup): the tiny
+    # (8,16) test net can't also learn deblur/upsample in 300 steps —
+    # the production uniform3 mix stays the default everywhere else
+    monkeypatch.setattr(
+        rtrain, "corrupt_uniform3",
+        lambda img, key, cfg: corrupt_ops.apply_noise(
+            img, key, cfg.noise_sigma, quantize=False))
+    cfg = ExperimentConfig(
+        restoration=RestorationConfig(channels=(16, 32), patch_size=32,
+                                      epochs=500, batch_size=8, lr=2e-3,
+                                      val_every=100),
+        mesh=MeshConfig(data=8, model=1))
+    out = rtrain.train(cfg, tmp_path / "imgs" / "train",
+                       tmp_path / "imgs" / "val", out_dir=tmp_path / "run")
+    hist = artifacts.read_jsonl(tmp_path / "run" / "history.jsonl")
+    val_recs = [h for h in hist if "val_psnr" in h]
+    assert len(val_recs) >= 2 and "val_psnr_in" in val_recs[-1]
+
+    # noise-sigma15 measurement on held-out full images with the best ckpt
+    model, variables = rtrain.load_best(tmp_path / "run", (16, 32))
+    apply = unet_lib.jit_apply(model)
+    rng = np.random.RandomState(7)
+    clean = np.stack([
+        np.asarray(Image.open(p).convert("RGB")) for p in
+        sorted((tmp_path / "imgs" / "val").glob("*.png"))]).astype(np.float32)
+    noisy = np.clip(clean + rng.normal(0, 15.0, clean.shape), 0, 255)
+    restored = apply(variables, jnp.asarray(noisy / 255.0))
+    p_in = float(ssim_ops.psnr(jnp.asarray(noisy / 255.0),
+                               jnp.asarray(clean / 255.0)))
+    p_out = float(ssim_ops.psnr(restored, jnp.asarray(clean / 255.0)))
+    print(f"psnr corrupted={p_in:.2f} restored={p_out:.2f}")
+    assert p_out > p_in + 2.0, (p_in, p_out)

@@ -95,6 +95,48 @@ def replicate_tree(ctx: "MeshContext", tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
+def rtdetr_decoder_tp(ctx: "MeshContext", tree: Any) -> Any:
+    """NamedSharding tree: Megatron tensor parallelism for the RT-DETR
+    decoder over the `model` axis; everything else replicated.
+
+    Applied to the WHOLE train state: the optimizer/EMA subtrees mirror the
+    param tree, so their leaf paths contain the same ``layer{i}/...``
+    segments and pick up the matching specs. Layout (per decoder layer):
+
+      linear1 (d, ffn)  column-sharded -> ffn activations sharded
+      linear2 (ffn, d)  row-sharded    -> psum over `model` at the output
+      self_attn q/k/v (d, H, hd) head-sharded; out (H, hd, d) row-sharded
+
+    Head count (8) and ffn width must divide the model-axis size. XLA's
+    SPMD partitioner inserts the all-reduces; the data-axis grad psum
+    composes with them on the 2D mesh.
+    """
+    mesh = ctx.mesh
+
+    def spec(path) -> P:
+        keys = [str(getattr(k, "key", k)) for k in path]
+        s = "/".join(keys)
+        if any(k.startswith("layer") and k[5:].isdigit() for k in keys):
+            if s.endswith("linear1/kernel"):
+                return P(None, MODEL_AXIS)
+            if s.endswith("linear1/bias"):
+                return P(MODEL_AXIS)
+            if s.endswith("linear2/kernel"):
+                return P(MODEL_AXIS, None)
+            if "self_attn" in s:
+                if s.endswith(("query/kernel", "key/kernel",
+                               "value/kernel")):
+                    return P(None, MODEL_AXIS, None)
+                if s.endswith(("query/bias", "key/bias", "value/bias")):
+                    return P(MODEL_AXIS, None)
+                if s.endswith("out/kernel"):
+                    return P(MODEL_AXIS, None, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, spec(p)), tree)
+
+
 def pad_batch_to(batch_arrays: Any, multiple: int) -> Any:
     """Pad leading dim up to a multiple (so it divides the data axis)."""
     def pad(x):

@@ -545,31 +545,33 @@ def _bwd_pallas(sidx, sc, sqof, lo, hi, vt, dout_t):
             dout_ref[0], ohq, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (dh, tile_t)
 
-        def gather(cc, acc):
+        gw = (dout_tap * c_ref[0, 0, 0, :].reshape(1, tile_t)
+              ).astype(jnp.bfloat16)
+
+        # ONE pass per [lo, hi] value tile: the tap one-hot is built once
+        # and feeds BOTH matmuls — the gather for the per-tap scalars
+        # (s is linear in g, so it accumulates tile-by-tile) and the dV
+        # stamp. The previous two-loop form built every one-hot twice
+        # (the build is VPU compare/select work comparable to the MXU
+        # matmuls it feeds — fusing measured the 6-layer bwd chain down).
+        def visit(cc, s_acc):
             colsub = cc * _TILE_C + jax.lax.broadcasted_iota(
                 jnp.int32, (_TILE_C, tile_t), 0)
             oh = (ids.reshape(1, tile_t) == colsub).astype(jnp.bfloat16)
             vv = v_ref[0, :, pl.ds(cc * _TILE_C, _TILE_C)]
-            return acc + jax.lax.dot_general(
+            g_tile = jax.lax.dot_general(
                 vv, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        g = jax.lax.fori_loop(lo_ref[0, 0, k], hi_ref[0, 0, k] + 1, gather,
-                              jnp.zeros((dh, tile_t), jnp.float32))
-        s_ref[0, 0, 0, :] = (g * dout_tap).sum(0)        # dL/dc per tap
-
-        gw = (dout_tap * c_ref[0, 0, 0, :].reshape(1, tile_t)
-              ).astype(jnp.bfloat16)
-        def stamp(cc, carry):
-            colsub = cc * _TILE_C + jax.lax.broadcasted_iota(
-                jnp.int32, (_TILE_C, tile_t), 0)
-            oh = (ids.reshape(1, tile_t) == colsub).astype(jnp.bfloat16)
+                preferred_element_type=jnp.float32)      # (dh, tile_t)
+            s_acc = s_acc + (g_tile * dout_tap).sum(0)
             cur = dv_ref[0, :, pl.ds(cc * _TILE_C, _TILE_C)]
             dv_ref[0, :, pl.ds(cc * _TILE_C, _TILE_C)] = (
                 cur + jax.lax.dot_general(
                     gw, oh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32))
-            return carry
-        jax.lax.fori_loop(lo_ref[0, 0, k], hi_ref[0, 0, k] + 1, stamp, 0)
+            return s_acc
+        s_ref[0, 0, 0, :] = jax.lax.fori_loop(
+            lo_ref[0, 0, k], hi_ref[0, 0, k] + 1, visit,
+            jnp.zeros((tile_t,), jnp.float32))
 
     return pl.pallas_call(
         kernel,

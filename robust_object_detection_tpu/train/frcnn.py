@@ -283,7 +283,9 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
           dtype: Optional[str] = None,
           allow_pickle: bool = False,
           trainable_layers: Optional[int] = None,
-          model_kwargs: Optional[dict] = None) -> dict:
+          model_kwargs: Optional[dict] = None,
+          native_res: bool = False, min_side: float = 800.0,
+          max_side: float = 1333.0, bucket_mult: int = 64) -> dict:
     """Full FRCNN training driver (reference: 24 epochs, batch 2).
 
     dtype: computation dtype, "bfloat16" (TPU-native default — the
@@ -315,7 +317,15 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
     num_proposals, roi_batch — torchvision exposes the same knobs as
     fasterrcnn_resnet50_fpn_v2 kwargs). Proposal/sample counts don't
     change the parameter tree, so checkpoints stay interchangeable with
-    default-config runs; blocks= does change it."""
+    default-config runs; blocks= does change it.
+
+    native_res=True trains at torchvision-native variable resolution:
+    every image is resized by the exact GeneralizedRCNNTransform scale
+    (min_side/max_side — train_frcnn_baseline.py:139-143) and padded into
+    the smallest bucket_mult-aligned canvas, with one jitted train step
+    per bucket (the same static-aspect-bucket trick evaluate_bucketed
+    uses). img_size is ignored in this mode. Default False trains on the
+    fixed square letterbox (one compile, best step throughput)."""
     import contextlib
 
     from ..models.layers import bn_dtype_scope
@@ -330,13 +340,16 @@ def train(cfg: ExperimentConfig, data_root: str | Path, out_dir: str | Path,
         return _train_impl(cfg, data_root, out_dir, augment, epochs,
                            img_size, batch_size, max_steps, max_boxes,
                            val_interval, pretrained, model_dtype,
-                           allow_pickle, trainable_layers, model_kwargs)
+                           allow_pickle, trainable_layers, model_kwargs,
+                           native_res, min_side, max_side, bucket_mult)
 
 
 def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
                 batch_size, max_steps, max_boxes, val_interval,
                 pretrained, model_dtype, allow_pickle=False,
-                trainable_layers=5, model_kwargs=None) -> dict:
+                trainable_layers=5, model_kwargs=None,
+                native_res=False, min_side=800.0, max_side=1333.0,
+                bucket_mult=64) -> dict:
     from ..models import resnet as resnet_lib
 
     out_dir = Path(out_dir)
@@ -345,7 +358,20 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
     ctx = mesh_lib.MeshContext(mesh)
 
     samples = pipe.index_coco(data_root, "train")
-    steps_per_epoch = max(1, len(samples) // batch_size)
+    buckets: dict = {}
+    bucket_scale: dict = {}
+    if native_res:
+        from ..eval.detector_eval import tv_target
+        for s in samples:
+            th, tw, sc = tv_target(s.height, s.width, min_side, max_side)
+            bkt = (-(-th // bucket_mult) * bucket_mult,
+                   -(-tw // bucket_mult) * bucket_mult)
+            buckets.setdefault(bkt, []).append(s)
+            bucket_scale[s.image_id] = sc
+        steps_per_epoch = max(1, sum(len(g) // batch_size
+                                     for g in buckets.values()))
+    else:
+        steps_per_epoch = max(1, len(samples) // batch_size)
     fcfg = F.FrcnnConfig(trainable_layers=trainable_layers,
                          **(model_kwargs or {}))
     model = F.FasterRCNN(fcfg, dtype=model_dtype)
@@ -364,11 +390,24 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
         state = FrcnnTrainState(newv["params"], newv["batch_stats"],
                                 tx.init(newv["params"]), jnp.asarray(0))
     state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
-    step_fn = jax.jit(
-        make_train_step(model, tx, img_size, cfg.corruption, augment),
-        in_shardings=(ctx.replicated, ctx.data, ctx.data, ctx.data, None),
-        out_shardings=(ctx.replicated, ctx.replicated),
-        donate_argnums=(0,))
+
+    def _jit_step(canvas):
+        return jax.jit(
+            make_train_step(model, tx, canvas, cfg.corruption, augment),
+            in_shardings=(ctx.replicated, ctx.data, ctx.data, ctx.data,
+                          None),
+            out_shardings=(ctx.replicated, ctx.replicated),
+            donate_argnums=(0,))
+
+    if native_res:
+        step_fns: dict = {}          # one compile per bucket canvas
+
+        def step_for(bkt):
+            if bkt not in step_fns:
+                step_fns[bkt] = _jit_step(bkt)
+            return step_fns[bkt]
+    else:
+        step_fn = _jit_step(img_size)
 
     val_samples = validation.index_val_samples(data_root, "coco")
     predict_fn = None
@@ -398,12 +437,33 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         losses = []
-        for batch in pipe.prefetch(pipe.make_batches(
-                samples, batch_size, img_size, max_boxes=max_boxes,
-                shuffle=True, seed=cfg.train.seed + epoch,
-                drop_remainder=True)):
+        if native_res:
+            # bucket-major order; shuffle within each bucket per epoch
+            # (torchvision's aspect-ratio grouped batching has the same
+            # same-shape-batches property)
+            def epoch_batches():
+                for bkt in sorted(buckets):
+                    if len(buckets[bkt]) < batch_size:
+                        continue       # dropped, like drop_remainder
+                    for b in pipe.make_batches(
+                            buckets[bkt], batch_size, bkt,
+                            max_boxes=max_boxes, shuffle=True,
+                            seed=cfg.train.seed + epoch,
+                            drop_remainder=True,
+                            scale_fn=lambda s: bucket_scale[s.image_id],
+                            pad_value=(124, 116, 104)):
+                        yield bkt, b
+            batch_iter = pipe.prefetch(epoch_batches())
+        else:
+            batch_iter = ((None, b) for b in pipe.prefetch(
+                pipe.make_batches(
+                    samples, batch_size, img_size, max_boxes=max_boxes,
+                    shuffle=True, seed=cfg.train.seed + epoch,
+                    drop_remainder=True)))
+        for bkt, batch in batch_iter:
             args = pipe.device_put_sharded(batch, ctx.data)
-            state, m = step_fn(state, args[0], args[1], args[2], key)
+            fn = step_for(bkt) if native_res else step_fn
+            state, m = fn(state, args[0], args[1], args[2], key)
             losses.append(m["loss"])
             steps += 1
             if max_steps and steps >= max_steps:

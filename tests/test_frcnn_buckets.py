@@ -118,3 +118,41 @@ def test_evaluate_bucketed_e2e(tmp_path):
     for s in samples:
         th, tw, _ = DE.tv_target(s.height, s.width, 64.0, 96.0)
         assert any(bh >= th and bw >= tw for bh, bw in made)
+
+
+@pytest.mark.slow
+def test_native_res_bucket_training(tmp_path):
+    """native_res=True trains at torchvision-native variable resolution:
+    one jitted step per aspect bucket, exact min/max-side scales, resume-
+    compatible checkpoints (VERDICT r3 #7 / train_frcnn_baseline.py:139-150).
+    Tiny min/max sides keep the test canvases small; the production run
+    uses the 800/1333 defaults."""
+    from robust_object_detection_tpu.core import artifacts
+    from robust_object_detection_tpu.core.config import (ExperimentConfig,
+                                                         MeshConfig,
+                                                         TrainConfig)
+    from robust_object_detection_tpu.data import convert, synthetic
+
+    det = synthetic.make_det_split(
+        tmp_path / "det", n_images=8,
+        size_range=((40, 80), (40, 80)))     # mixed aspects -> >1 bucket
+    convert.convert_det_to_coco(det, tmp_path / "coco", "train")
+    cfg = ExperimentConfig(train=TrainConfig(seed=0),
+                           mesh=MeshConfig(data=1, model=1))
+    out = TF.train(
+        cfg, tmp_path / "coco", tmp_path / "run", augment=False, epochs=1,
+        batch_size=2, max_boxes=16, native_res=True, min_side=48.0,
+        max_side=96.0, bucket_mult=32,
+        model_kwargs=dict(blocks=(1, 1, 1, 1), pre_nms_topk=64,
+                          num_proposals=32, roi_batch=32, rpn_batch=32))
+    assert np.isfinite(out["final_loss"])
+    assert out["steps"] >= 1
+    hist = artifacts.read_jsonl(tmp_path / "run" / "history.jsonl")
+    assert [h["epoch"] for h in hist] == [1]
+    # checkpoints stay canvas-independent: the square-canvas loader reads
+    # the bucket-trained weights
+    model, state = TF.load_checkpoint(
+        tmp_path / "run", img_size=64,
+        cfg=F.FrcnnConfig(blocks=(1, 1, 1, 1), pre_nms_topk=64,
+                          num_proposals=32, roi_batch=32, rpn_batch=32))
+    assert state.params is not None

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import csv
 import json
+import os
 import time
 from pathlib import Path
 from typing import Any, Dict, Iterable, List, Mapping, Sequence
@@ -30,9 +31,18 @@ def read_jsonl(path: str | Path) -> List[Dict[str, Any]]:
 
 
 def write_json(path: str | Path, obj: Any) -> None:
+    """Atomic JSON write (temp file + os.replace).
+
+    Consumers like the preemption-safe eval sweep re-read these files after
+    a kill; a plain write_text could leave a truncated file if the kill
+    lands mid-write, turning the resume path into a JSONDecodeError crash.
+    """
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
-    p.write_text(json.dumps(obj, indent=2, ensure_ascii=False), encoding="utf-8")
+    tmp = p.with_name(p.name + ".tmp")
+    tmp.write_text(json.dumps(obj, indent=2, ensure_ascii=False),
+                   encoding="utf-8")
+    os.replace(tmp, p)
 
 
 def read_json(path: str | Path) -> Any:

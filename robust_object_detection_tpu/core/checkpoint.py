@@ -50,19 +50,63 @@ class CheckpointManager:
                      ) -> Optional[Dict[str, Any]]:
         """Restore the rolling checkpoint (None if absent).
 
-        abstract_extra: shape skeleton of the `extra` dict, when the saver
-        wrote one (mid-epoch resume metadata) — must match what save_last
-        stored, orbax restores by tree structure.
+        abstract_extra: shape skeleton of the `extra` dict the saver may
+        have written (mid-epoch resume metadata). The on-disk layout is
+        probed so both directions stay compatible: a legacy epoch-keyed
+        checkpoint (no `extra` subtree) restored by new code synthesizes
+        `extra` as {epoch: step, epoch_done: True, ...zeros}, and a new
+        step-keyed checkpoint restored by an extra-less caller silently
+        drops the metadata instead of tripping orbax's tree-structure
+        check.
         """
         step = self._mgr.latest_step()
         if step is None:
             return None
+        on_disk_extra = self._extra_skeleton(step)
         target = {"state": _with_default_sharding(abstract_state)}
-        if abstract_extra is not None:
-            target["extra"] = abstract_extra
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        if on_disk_extra is not None:
+            target["extra"] = (abstract_extra if abstract_extra is not None
+                               else on_disk_extra)
+        restored = self._mgr.restore(step,
+                                     args=ocp.args.StandardRestore(target))
+        if abstract_extra is None:
+            restored.pop("extra", None)
+        elif on_disk_extra is None:
+            # legacy checkpoint: step key WAS the epoch, always epoch-end
+            synth = {k: 0 for k in abstract_extra}
+            if "epoch" in synth:
+                synth["epoch"] = step
+            if "epoch_done" in synth:
+                synth["epoch_done"] = True
+            restored["extra"] = synth
         restored["step"] = step
         return restored
+
+    def _extra_skeleton(self, step: int) -> Optional[Dict[str, Any]]:
+        """The on-disk `extra` subtree's restore skeleton, or None.
+
+        Read from the checkpoint's `_METADATA` file directly: the manager's
+        `item_metadata` only resolves the handler for checkpoints saved by
+        the same instance (fresh managers log "could not be restored" and
+        return None), and a restore-only manager is the common case here.
+        Keys are orbax's stringified key-paths, e.g. "('extra', 'epoch')".
+        """
+        import ast
+        meta_path = self.root / "last" / str(step) / "default" / "_METADATA"
+        try:
+            tree_meta = json.loads(meta_path.read_text())["tree_metadata"]
+        except (OSError, KeyError, json.JSONDecodeError):
+            return None
+        extra: Dict[str, Any] = {}
+        for key in tree_meta:
+            try:
+                path = ast.literal_eval(key)
+            except (ValueError, SyntaxError):
+                continue
+            if isinstance(path, tuple) and len(path) == 2 \
+                    and path[0] == "extra":
+                extra[path[1]] = 0
+        return extra or None
 
     # ── `best` by metric ────────────────────────────────────────────
     def save_best(self, step: int, state: Any, metric: float,

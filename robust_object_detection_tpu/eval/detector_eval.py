@@ -272,7 +272,13 @@ def sweep(models: Dict[str, tuple], testset_root: str | Path,
     partial_path = out_dir / f"{results_name}.partial.json"
     done: Dict[str, Dict] = {}
     if resume and partial_path.exists():
-        done = json.loads(partial_path.read_text())
+        try:
+            done = json.loads(partial_path.read_text())
+        except json.JSONDecodeError:
+            # A kill mid-write can leave a truncated partial file even with
+            # atomic writes on some filesystems; restart from zero rather
+            # than crash the very resume path the file exists to serve.
+            done = {}
     results: Dict[str, Dict[str, Dict]] = {}
     for name, (predict_fn, state) in models.items():
         per_variant: Dict[str, Dict] = {}

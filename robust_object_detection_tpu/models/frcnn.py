@@ -334,13 +334,15 @@ def match_anchors(anchors: jax.Array, gt_boxes: jax.Array,
     labels = jnp.where(best_iou >= pos_iou, 1,
                        jnp.where(best_iou < neg_iou, 0, -1))
     if allow_low_quality:
-        # every gt's best anchor(s) become positive
+        # every gt's best anchor(s) become positive. torchvision's
+        # set_low_quality_matches_ RESTORES the pre-threshold match — the
+        # anchor's own argmax gt, which may differ from the gt whose best
+        # anchor it is (rpn.py Matcher; oracle-checked in
+        # tests/test_loss_parity.py) — so `matched` (already the
+        # per-anchor argmax) is left untouched, only the label flips.
         gt_best = jnp.where(valid, iou.max(1), -2.0)           # (B, M)
         is_best = (iou >= gt_best[:, None, :] - 1e-5) & valid[:, None, :]
         labels = jnp.where(is_best.any(-1), 1, labels)
-        matched = jnp.where(is_best.any(-1),
-                            jnp.argmax(jnp.where(is_best, iou, -1.0), -1),
-                            matched)
     # images with no gt: all negative
     has_gt = valid.any(-1, keepdims=True)
     labels = jnp.where(has_gt, labels, 0)

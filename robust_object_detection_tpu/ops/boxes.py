@@ -106,6 +106,41 @@ def pairwise_giou(a: jax.Array, b: jax.Array) -> jax.Array:
     return iou - (earea - union) / jnp.maximum(earea, 1e-9)
 
 
+def pairwise_ciou(a: jax.Array, b: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """CIoU matrix between (..., M, 4) and (..., N, 4) xyxy -> (..., M, N).
+
+    Ultralytics ``bbox_iou(CIoU=True)`` semantics (the TAL assigner's
+    overlap metric since v8): iou − centre-distance/enclosing-diagonal −
+    α·v aspect term, with α = v/(v − iou + 1 + eps) under stop_gradient.
+    Component-wise like pairwise_iou — every intermediate stays (M, N) so
+    TPU tiling never pads a trailing short dim to 128 lanes. The aspect
+    angles are per-box (M,)/(N,) and broadcast, so v costs one subtraction
+    pass, not a pairwise atan.
+    """
+    ax1, ay1, ax2, ay2 = (a[..., :, None, i] for i in range(4))
+    bx1, by1, bx2, by2 = (b[..., None, :, i] for i in range(4))
+    iw = jnp.maximum(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0.0)
+    ih = jnp.maximum(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0.0)
+    inter = iw * ih
+    union = area(a)[..., :, None] + area(b)[..., None, :] - inter + eps
+    iou = inter / union
+
+    cw = jnp.maximum(bx2, ax2) - jnp.minimum(bx1, ax1)
+    ch = jnp.maximum(by2, ay2) - jnp.minimum(by1, ay1)
+    c2 = cw * cw + ch * ch + eps
+    # centre distance via the (x1+x2) sums — one pairwise subtract per axis
+    rho2 = (((bx1 + bx2) - (ax1 + ax2)) ** 2
+            + ((by1 + by2) - (ay1 + ay2)) ** 2) / 4.0
+
+    ang_a = jnp.arctan((a[..., 2] - a[..., 0])
+                       / (a[..., 3] - a[..., 1] + eps))        # (..., M)
+    ang_b = jnp.arctan((b[..., 2] - b[..., 0])
+                       / (b[..., 3] - b[..., 1] + eps))        # (..., N)
+    v = (4 / jnp.pi ** 2) * (ang_b[..., None, :] - ang_a[..., :, None]) ** 2
+    alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+    return iou - (rho2 / c2 + v * alpha)
+
+
 def iou_elementwise(a: jax.Array, b: jax.Array) -> jax.Array:
     """Elementwise IoU between aligned (..., 4) xyxy boxes."""
     lt = jnp.maximum(a[..., :2], b[..., :2])

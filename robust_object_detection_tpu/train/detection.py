@@ -42,12 +42,21 @@ def task_aligned_assign(scores: jax.Array, pred_boxes: jax.Array,
                         anchors: jax.Array, gt_boxes: jax.Array,
                         gt_classes: jax.Array, topk: int = 10,
                         alpha: float = 0.5, beta: float = 6.0,
-                        exact_topk: bool = False) -> Dict[str, jax.Array]:
-    """Task-aligned label assignment (TAL).
+                        exact_topk: bool = False,
+                        precise: bool = False) -> Dict[str, jax.Array]:
+    """Task-aligned label assignment (TAL), Ultralytics-8.3 semantics.
 
     scores: (B, N, nc) sigmoid probabilities; pred_boxes: (B, N, 4) xyxy px;
     anchors: (N, 2) pixel centres; gt_boxes: (B, M, 4) xyxy px;
     gt_classes: (B, M) int32 with -1 padding.
+
+    The overlap metric is CIoU clamped to 0 (utils/tal.py
+    iou_calculation — NOT plain IoU; CIoU's centre/aspect penalties change
+    candidate rankings, verified against the torch oracle in
+    tests/test_loss_parity.py). precise=True runs the metric in f32 with
+    exact top_k (the oracle-parity configuration); the default keeps the
+    production bf16 + approx_max_k ranking (~0.4%-scale metric rounding,
+    bounded by the same parity test's loose assertion).
 
     Returns dict with fg_mask (B,N) bool, target_boxes (B,N,4),
     target_scores (B,N,nc), target_gt (B,N) int32.
@@ -57,16 +66,17 @@ def task_aligned_assign(scores: jax.Array, pred_boxes: jax.Array,
     gt_valid = gt_classes >= 0                                   # (B, M)
     gt_cls = jnp.maximum(gt_classes, 0)
 
-    # alignment metric t = s^alpha * iou^beta per (gt, anchor).
+    # alignment metric t = s^alpha * ciou^beta per (gt, anchor).
     # The (B, M, N) tensors dominate the step's HBM traffic at
     # (16, 600, 21504); bf16 halves it — TAL is a ranking heuristic, the
     # half-precision ordering is more than enough.
-    iou = jax.vmap(box_ops.pairwise_iou)(
-        gt_boxes.astype(jnp.bfloat16), pred_boxes.astype(jnp.bfloat16))
-    iou = jnp.clip(iou, 0.0, 1.0)                                # (B, M, N)
+    mdt = jnp.float32 if precise else jnp.bfloat16
+    iou = jax.vmap(box_ops.pairwise_ciou)(
+        gt_boxes.astype(mdt), pred_boxes.astype(mdt))
+    iou = jnp.maximum(iou, 0.0) * gt_valid[..., None]            # (B, M, N)
     cls_score = jnp.take_along_axis(
         jnp.swapaxes(scores, 1, 2),                              # (B, nc, N)
-        gt_cls[..., None], axis=1).astype(jnp.bfloat16)          # (B, M, N)
+        gt_cls[..., None], axis=1).astype(mdt)                   # (B, M, N)
     s_pow = (jnp.sqrt(jnp.maximum(cls_score, 0)) if alpha == 0.5
              else cls_score ** alpha)
     metric = s_pow * (iou ** beta)
@@ -84,7 +94,7 @@ def task_aligned_assign(scores: jax.Array, pred_boxes: jax.Array,
     # one fused elementwise pass. (Ties at the threshold may admit a few
     # extra candidates — harmless for a ranking heuristic.)
     k = min(topk, n)
-    if exact_topk:
+    if exact_topk or precise:
         top_vals, _ = jax.lax.top_k(metric, k)                   # (B, M, k)
     else:
         top_vals, _ = jax.lax.approx_max_k(metric, k)
@@ -101,19 +111,22 @@ def task_aligned_assign(scores: jax.Array, pred_boxes: jax.Array,
     #      masked-sum pass (no gathers — TPU gathers serialise, the
     #      take_along_axis formulation cost 5.5 ms/step).
 
-    # pass 1 — resolve multi-gt anchors: keep the gt with the highest
-    # IoU. `pos & one_hot(argmax)` is the general form: with a single
-    # positive the argmax IS that positive, with none the mask stays
-    # empty, so the n_assign>1 special-casing (an extra pass) is
-    # unnecessary.
-    best_gt = jnp.argmax(jnp.where(pos, iou, -INF), axis=1)      # (B, N)
-    pos = pos & jax.nn.one_hot(best_gt, m, axis=1, dtype=bool)
+    # pass 1 — resolve multi-gt anchors, Ultralytics
+    # select_highest_overlaps semantics: a CONFLICTED anchor is handed to
+    # the gt with the highest overlap over the FULL row (not just among
+    # its candidate gts — the torch code argmaxes the unmasked overlaps,
+    # so the winner may be a gt that never selected this anchor).
+    # Single-candidate anchors keep their gt untouched.
+    conflicted = pos.sum(axis=1, keepdims=True) > 1              # (B, 1, N)
+    best_gt = jnp.argmax(iou, axis=1)                            # (B, N)
+    pos = jnp.where(conflicted,
+                    jax.nn.one_hot(best_gt, m, axis=1, dtype=bool), pos)
 
     # pass 2 — per-gt normalisers among the final positives
     pos_metric = jnp.where(pos, metric, 0.0)
     max_metric = pos_metric.max(axis=2, keepdims=True)           # (B, M, 1)
     max_iou = jnp.where(pos, iou, 0.0).max(axis=2, keepdims=True)
-    ratio = (max_iou / jnp.maximum(max_metric, 1e-9))            # (B, M, 1)
+    ratio = max_iou / (max_metric + 1e-9)                        # (B, M, 1)
 
     # pass 3 — per-anchor selections: after conflict resolution each
     # anchor has at most ONE positive gt, so masked sums over M select
@@ -159,14 +172,24 @@ def dfl_loss(box_logits: jax.Array, target_ltrb: jax.Array,
     return (per_anchor * weight).sum()
 
 
-@functools.partial(jax.jit, static_argnames=("img_size", "topk"))
+@functools.partial(jax.jit, static_argnames=("img_size", "topk", "precise"))
 def yolo_loss(outs, gt_boxes: jax.Array, gt_classes: jax.Array,
               img_size: int, box_w: float = 7.5, cls_w: float = 0.5,
-              dfl_w: float = 1.5, topk: int = 10) -> Tuple[jax.Array, Dict]:
+              dfl_w: float = 1.5, topk: int = 10,
+              precise: bool = False) -> Tuple[jax.Array, Dict]:
     """Full YOLOv8 loss from raw head outputs.
 
     outs: list of per-level (box_logits, cls_logits); gt_boxes: (B, M, 4)
     xyxy pixels; gt_classes: (B, M) with -1 padding.
+
+    Per-component semantics are cross-checked against an independent torch
+    implementation of Ultralytics v8DetectionLoss
+    (tests/test_loss_parity.py; precise=True = the f32/exact-topk oracle
+    configuration). Weights box/cls/dfl = 7.5/0.5/1.5 are the reference
+    run's hyp (experiments/yolo/baseline_clean/args.yaml); Ultralytics
+    additionally scales the summed loss by batch_size before backward
+    (v8DetectionLoss returns loss.sum()*bs) — a constant gradient scale
+    the trainer folds into its lr choice rather than the loss value.
     """
     box_logits, cls_logits = yolo_lib.flatten_outputs(outs)
     anchors_np, strides_np = yolo_lib.anchor_points(img_size)
@@ -182,7 +205,7 @@ def yolo_loss(outs, gt_boxes: jax.Array, gt_classes: jax.Array,
 
     assign = task_aligned_assign(
         jax.lax.stop_gradient(scores), jax.lax.stop_gradient(pred_boxes),
-        anchors_px, gt_boxes, gt_classes, topk=topk)
+        anchors_px, gt_boxes, gt_classes, topk=topk, precise=precise)
     ts = assign["target_scores"]
     fg = assign["fg_mask"]
     tsum = jnp.maximum(ts.sum(), 1.0)

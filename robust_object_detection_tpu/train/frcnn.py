@@ -123,7 +123,10 @@ def head_loss(scores: jax.Array, box_deltas: jax.Array,
     sel = jnp.take_along_axis(
         box_deltas, cls_target[..., None, None].astype(jnp.int32), axis=2
     )[..., 0, :]
-    box_l = (smooth_l1(sel - delta_target, 1.0).sum(-1)
+    # beta = 1/9 like the RPN: torchvision fastrcnn_loss uses
+    # smooth_l1_loss(beta=1/9) for the head too (roi_heads.py), verified
+    # against the torch oracle in tests/test_loss_parity.py
+    box_l = (smooth_l1(sel - delta_target, 1.0 / 9.0).sum(-1)
              * pos_mask).sum() / n
     return {"head_cls": cls_l, "head_box": box_l}
 

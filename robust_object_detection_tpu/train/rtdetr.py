@@ -28,7 +28,12 @@ from ..ops import corrupt as corrupt_ops
 from . import validation
 
 BIG = 1e6
+# Ultralytics RT-DETR gains: the MATCHER weighs the focal class cost at 2
+# (models/utils/loss.py DETRLoss.__init__ cost_gain={"class": 2, ...})
+# while the LOSS weighs VFL at 1 (loss_gain) — two different constants,
+# cross-checked against the torch oracle in tests/test_loss_parity.py.
 W_CLASS, W_L1, W_GIOU = 1.0, 5.0, 2.0
+COST_CLASS, COST_L1, COST_GIOU = 2.0, 5.0, 2.0
 
 
 def _solve_assignment(cost: jax.Array, exact: bool = False):
@@ -163,7 +168,7 @@ def hungarian_match(logits: jax.Array, boxes: jax.Array,
     qx = _cxcywh_to_xyxy(boxes)
     gx = _cxcywh_to_xyxy(gtb)
     giou = box_ops.pairwise_giou(qx, gx)                       # (B, Q, M)
-    cost = W_CLASS * cls_sel + W_L1 * l1 + W_GIOU * (-giou)
+    cost = COST_CLASS * cls_sel + COST_L1 * l1 + COST_GIOU * (1.0 - giou)
     cost = jnp.where(valid[:, None, :], cost, BIG)
 
     method = ASSIGNMENT if method is None else method
@@ -203,12 +208,17 @@ def hungarian_match(logits: jax.Array, boxes: jax.Array,
 def varifocal_loss(logits: jax.Array, target_cls: jax.Array,
                    target_iou: jax.Array, alpha: float = 0.75,
                    gamma: float = 2.0) -> jax.Array:
-    """VFL: positives weighted by IoU target, negatives by p^gamma."""
+    """VFL, Ultralytics VarifocalLoss semantics: weight =
+    alpha*p^gamma*(1-label) + gt_score*label — the LABEL (not the score)
+    gates the two branches, so a matched query with IoU 0 weighs 0 rather
+    than falling back to the negative branch. Returns the raw SUM; the
+    caller applies the .mean(query-axis).sum()/num_gts normalisation."""
     nc = logits.shape[-1]
-    t = jax.nn.one_hot(jnp.maximum(target_cls, 0), nc) * \
-        target_iou[..., None] * (target_cls >= 0)[..., None]
+    label = (jax.nn.one_hot(jnp.maximum(target_cls, 0), nc)
+             * (target_cls >= 0)[..., None])
+    t = label * target_iou[..., None]
     p = jax.nn.sigmoid(logits)
-    weight = jnp.where(t > 0, t, alpha * p ** gamma)
+    weight = alpha * p ** gamma * (1.0 - label) + t * label
     bce = optax.sigmoid_binary_cross_entropy(logits, t)
     return (bce * weight).sum()
 
@@ -223,8 +233,13 @@ def _layer_loss(logits, boxes, gt_boxes_n, gt_classes):
         matched,
         jnp.take_along_axis(jnp.maximum(gt_classes, 0),
                             jnp.maximum(gt_for_q, 0), 1), -1)
+    # Ultralytics normalises VFL by .mean(1).sum()/num_gts — i.e. BOTH the
+    # query count AND the gt count divide the sum (VarifocalLoss.forward +
+    # DETRLoss._get_loss_class). n_pos == num valid gts here: Q >= M so
+    # every valid gt is matched.
+    nq = logits.shape[1]
     cls_l = varifocal_loss(logits, tgt_cls,
-                           jax.lax.stop_gradient(iou_q)) / n_pos
+                           jax.lax.stop_gradient(iou_q)) / nq / n_pos
 
     tgt_box = jnp.take_along_axis(gt_boxes_n,
                                   jnp.maximum(gt_for_q, 0)[..., None], 1)
@@ -311,9 +326,11 @@ def dn_loss(dn_logits: jax.Array, dn_boxes: jax.Array, dn_gt: jax.Array,
     qx = _cxcywh_to_xyxy(dn_boxes)
     gx = _cxcywh_to_xyxy(tgt_box)
     iou = box_ops.iou_elementwise(qx, gx) * pos
+    # same VFL normalisation as the matched layers: /D (dn query count,
+    # the .mean(1)) and /n_pos (= num_gts x dn groups for CDN)
     cls_l = (varifocal_loss(
         jnp.where(dn_active[..., None], dn_logits, -1e4),
-        tgt_cls, jax.lax.stop_gradient(iou)) / n_pos)
+        tgt_cls, jax.lax.stop_gradient(iou)) / dn_logits.shape[1] / n_pos)
     l1 = (jnp.abs(dn_boxes - tgt_box).sum(-1) * pos).sum() / n_pos
     giou_l = ((1.0 - box_ops.giou(qx, gx)) * pos).sum() / n_pos
     return W_CLASS * cls_l + W_L1 * l1 + W_GIOU * giou_l

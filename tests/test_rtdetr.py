@@ -200,7 +200,15 @@ def test_varifocal_loss_basics():
 
 
 def test_overfit_tiny(rtdetr_small):
-    model, state, tx = rtdetr_small
+    model, state, _ = rtdetr_small
+    # warmup-free optimizer: the default 500-step linear warmup leaves lr
+    # at ~1e-5 for this 40-step run. (The pre-r5 cls term was ~Q-fold
+    # over-weighted vs the Ultralytics normalisation — see
+    # test_loss_parity — which masked this by inflating early gradients.)
+    tx = TR.make_optimizer(warmup_steps=2)[0]
+    state = TR.RtdetrTrainState(state.params, state.batch_stats,
+                                state.ema_params, tx.init(state.params),
+                                jnp.asarray(0))
     step = jax.jit(TR.make_train_step(model, tx, IMG, None, False))
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randint(0, 255, (2, IMG, IMG, 3), dtype=np.uint8))

@@ -496,7 +496,8 @@ def train(cfg, data_root, out_dir, augment: bool = False,
           lrf: float = 0.01, pretrained: Optional[str] = None,
           dtype: Optional[str] = None, base_augment: bool = True,
           mosaic: bool = True, close_mosaic: int = 10,
-          allow_pickle: bool = False) -> dict:
+          allow_pickle: bool = False,
+          model_kwargs: Optional[dict] = None) -> dict:
     """Full RT-DETR training driver (reference: 100 epochs, batch 2 at
     imgsz=1024, train_rtdetr_augmented.py:27-42).
 
@@ -520,7 +521,19 @@ def train(cfg, data_root, out_dir, augment: bool = False,
     greedy-completed + `matcher_capped` history metric when its round
     cap bites), "greedy" (globally-cheapest-pair), or "hungarian"
     (optax exact — the reference's Ultralytics solver semantics, ~170 ms
-    per call on v5e, so 7 matchings dominate the step)."""
+    per call on v5e, so 7 matchings dominate the step).
+
+    Tensor parallelism: cfg.mesh.model > 1 shards the decoder Megatron
+    -style over the mesh's model axis (parallel/mesh.rtdetr_decoder_tp —
+    linear1 column- / linear2 row-sharded, attention head-sharded) for the
+    whole train state including optimizer moments and EMA; the TP
+    all-reduces compose with the data-axis grad psum on the 2D mesh.
+    Requires heads and ffn width divisible by the model-axis size.
+    TP=2 vs TP=1 loss-trajectory equality is regression-tested on the CPU
+    mesh (tests/test_rtdetr_tp.py).
+
+    model_kwargs: extra RtDetrConfig fields (queries, dec_layers, ...) —
+    compile-cheap variants for tests and the multichip dryrun."""
     import contextlib
 
     from ..models.layers import bn_dtype_scope
@@ -534,13 +547,14 @@ def train(cfg, data_root, out_dir, augment: bool = False,
                            img_size, batch_size, max_steps, max_boxes,
                            layout, val_interval, lrf, pretrained,
                            model_dtype, base_augment, mosaic,
-                           close_mosaic, allow_pickle)
+                           close_mosaic, allow_pickle, model_kwargs)
 
 
 def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
                 batch_size, max_steps, max_boxes, layout, val_interval,
                 lrf, pretrained, model_dtype, base_augment=True,
-                mosaic=True, close_mosaic=10, allow_pickle=False) -> dict:
+                mosaic=True, close_mosaic=10, allow_pickle=False,
+                model_kwargs=None) -> dict:
     import time
     from pathlib import Path
 
@@ -553,11 +567,17 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
     out_dir.mkdir(parents=True, exist_ok=True)
     mesh = mesh_lib.make_mesh(cfg.mesh)
     ctx = mesh_lib.MeshContext(mesh)
+    n_model = mesh.shape[mesh_lib.MODEL_AXIS]
 
     samples = (pipe.index_coco(data_root, "train") if layout == "coco"
                else pipe.index_yolo(data_root, "train"))
     steps_per_epoch = max(1, len(samples) // batch_size)
-    model = R.create(6, dtype=model_dtype)
+    rcfg = R.RtDetrConfig(num_classes=6, **(model_kwargs or {}))
+    if n_model > 1 and (rcfg.heads % n_model or rcfg.ffn % n_model):
+        raise ValueError(
+            f"tensor parallelism needs heads ({rcfg.heads}) and ffn "
+            f"({rcfg.ffn}) divisible by mesh.model ({n_model})")
+    model = R.RTDETR(rcfg, dtype=model_dtype)
     tx, sched = make_optimizer(total_steps=epochs * steps_per_epoch,
                                lrf=lrf)
     state = init_state(model, jax.random.key(cfg.train.seed), img_size, tx)
@@ -573,12 +593,26 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
             newv["params"], newv["batch_stats"],
             jax.tree.map(jnp.copy, newv["params"]),
             tx.init(newv["params"]), jnp.asarray(0))
-    state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated), state)
+
+    # state sharding: pure replication (the DP default), or Megatron TP of
+    # the decoder over the model axis when the mesh has one (mesh.model>1)
+    def state_shardings(s):
+        if n_model > 1:
+            return mesh_lib.rtdetr_decoder_tp(ctx, s)
+        return jax.tree.map(lambda _: ctx.replicated, s)
+
+    st_shard = state_shardings(state)
+    if n_model > 1:
+        spec = st_shard.params["layer0"]["linear1"]["kernel"].spec
+        print(f"[rtdetr.train] decoder TP over {n_model}-way model axis "
+              f"(linear1 spec {spec})", flush=True)
+    place = lambda s: jax.tree.map(jax.device_put, s, st_shard)
+    state = place(state)
     step_fn = jax.jit(
         make_train_step(model, tx, img_size, cfg.corruption, augment,
                         base_augment=base_augment),
-        in_shardings=(ctx.replicated, ctx.data, ctx.data, ctx.data, None),
-        out_shardings=(ctx.replicated, ctx.replicated),
+        in_shardings=(st_shard, ctx.data, ctx.data, ctx.data, None),
+        out_shardings=(st_shard, ctx.replicated),
         donate_argnums=(0,))
 
     val_samples = validation.index_val_samples(data_root, layout)
@@ -586,7 +620,7 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
     if val_samples:
         predict_fn = jax.jit(
             make_predict_step(model, img_size),
-            in_shardings=(ctx.replicated, ctx.data),
+            in_shardings=(st_shard, ctx.data),
             out_shardings=ctx.replicated)
 
     ckpt = CheckpointManager(out_dir)
@@ -601,10 +635,9 @@ def _train_impl(cfg, data_root, out_dir, augment, epochs, img_size,
         "step": state.step})
     if restored is not None:
         r = restored["state"]
-        state = RtdetrTrainState(r["params"], r["batch_stats"],
-                                 r["ema_params"], r["opt_state"], r["step"])
-        state = jax.tree.map(lambda x: jax.device_put(x, ctx.replicated),
-                             state)
+        state = place(RtdetrTrainState(r["params"], r["batch_stats"],
+                                       r["ema_params"], r["opt_state"],
+                                       r["step"]))
         start_epoch = restored["step"] + 1
         steps = int(jax.device_get(state.step))
     for epoch in range(start_epoch, epochs + 1):

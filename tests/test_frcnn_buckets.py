@@ -156,3 +156,33 @@ def test_native_res_bucket_training(tmp_path):
         cfg=F.FrcnnConfig(blocks=(1, 1, 1, 1), pre_nms_topk=64,
                           num_proposals=32, roi_batch=32, rpn_batch=32))
     assert state.params is not None
+
+
+def test_native_res_epoch_plan_interleaves_buckets():
+    """GroupedBatchSampler semantics: same-shape batches, globally shuffled
+    bucket order, per-epoch reshuffle, dropped remainders counted
+    (reference loader is shuffle=True over everything,
+    train_frcnn_baseline.py:121-127)."""
+    buckets = {(256, 256): list(range(0, 20)),
+               (256, 320): list(range(100, 130)),
+               (320, 256): list(range(200, 203)),   # 3 imgs: 1 batch + 1 drop
+               (384, 256): [300]}                   # sub-batch: all dropped
+    chunks, dropped = TF.native_res_epoch_plan(buckets, 2, seed=7)
+    assert dropped == 2                              # 1 from (320,256) + 1
+    assert len(chunks) == 10 + 15 + 1
+    for bkt, chunk in chunks:
+        assert len(chunk) == 2                       # same-shape full batches
+        lo = {(256, 256): 0, (256, 320): 100, (320, 256): 200}[bkt]
+        assert all(lo <= s < lo + 100 for s in chunk)
+    # interleaved: the two big buckets must not be contiguous runs
+    order = [bkt for bkt, _ in chunks]
+    runs = sum(1 for i in range(1, len(order)) if order[i] != order[i - 1])
+    assert runs >= 6, order
+    # deterministic per seed, different across seeds (epoch reshuffle)
+    again, _ = TF.native_res_epoch_plan(buckets, 2, seed=7)
+    assert again == chunks
+    other, _ = TF.native_res_epoch_plan(buckets, 2, seed=8)
+    assert other != chunks
+    # every sample appears at most once; full buckets fully covered
+    seen = [s for _, chunk in chunks for s in chunk]
+    assert len(seen) == len(set(seen)) == 52

@@ -562,10 +562,14 @@ def _stem_core(x, k1, sc1, bi1, k2a, sc2a, bi2a, k2b, sc2b, bi2b,
 
 def supported(x_shape, cin=3, cm=32):
     """True when the fused path handles this input (H mult 16, W mult 256
-    keeps every lane slice tile-aligned; production sizes 512-1536 pass)."""
+    keeps every lane slice tile-aligned; production sizes 512-1536 pass).
+
+    w >= 512: at w == 256 the stride-2 stages leave a 64-lane slice
+    (Mosaic requires dim-3 slices 128-aligned — verified failing on
+    v5e); the XLA fallback handles small inputs."""
     b, h, w, c = x_shape
     return (c == cin and h % (4 * R * 2) == 0 and w % 256 == 0
-            and h >= 64 and w >= 256)
+            and h >= 64 and w >= 512)
 
 
 # ── backward kernels ─────────────────────────────────────────────────────

@@ -110,3 +110,50 @@ def make_smooth_images(root: str | Path, n_images: int = 8, hw=(96, 96),
         arr = np.clip(img, 0, 255).astype(np.uint8)
         Image.fromarray(arr).save(root / f"im{i:04d}.{ext}")
     return root
+
+
+def make_textured_images(root: str | Path, n_images: int = 8, hw=(96, 96),
+                         seed: int = 0, ext: str = "png") -> Path:
+    """Textured stand-ins with real high-frequency content.
+
+    make_smooth_images is right for the noise learning-signal tests but
+    DEGENERATE for blur/lowres: a smooth gradient is almost
+    blur-invariant (corrupted input sits at 55-67 dB PSNR), so
+    restoration "gain" is meaningless there. These add hard-edged
+    rectangles, oriented sinusoidal gratings, and fine checker patches
+    on the smooth base, pulling blurred/downscaled input PSNR into the
+    realistic 25-35 dB band the per-corruption evaluation needs (the
+    reference's VisDrone frames are texture-rich street scenes)."""
+    from PIL import Image
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for i in range(n_images):
+        img = np.zeros((h, w, 3), np.float32)
+        for c in range(3):
+            gx, gy = rng.uniform(-1, 1, 2)
+            img[..., c] = 128 + gx * (xx - w / 2) * 96 / w \
+                + gy * (yy - h / 2) * 96 / h
+        for _ in range(int(rng.randint(4, 9))):   # hard-edged rectangles
+            y0, x0 = rng.randint(0, h - 8), rng.randint(0, w - 8)
+            hh = rng.randint(h // 16, h // 3)
+            ww = rng.randint(w // 16, w // 3)
+            img[y0:y0 + hh, x0:x0 + ww] += rng.uniform(-90, 90, 3)
+        for _ in range(int(rng.randint(2, 4))):   # oriented gratings
+            fx, fy = rng.uniform(-0.35, 0.35, 2)  # cycles/px (mid-high)
+            phase = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(12, 36)
+            wave = np.sin(2 * np.pi * (fx * xx + fy * yy) + phase)
+            img += (wave * amp)[..., None] * rng.uniform(0.3, 1.0, 3)
+        # one fine checker patch (the hardest lowres content)
+        y0, x0 = rng.randint(0, h // 2), rng.randint(0, w // 2)
+        hh = ww = min(h, w) // 4
+        per = int(rng.randint(2, 5))
+        checker = (((yy[:hh, :ww] // per) + (xx[:hh, :ww] // per)) % 2)
+        img[y0:y0 + hh, x0:x0 + ww] += \
+            (checker * rng.uniform(30, 60))[..., None]
+        arr = np.clip(img, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / f"im{i:04d}.{ext}")
+    return root

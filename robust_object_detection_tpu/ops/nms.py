@@ -116,7 +116,7 @@ def batched_nms(boxes: jax.Array, scores: jax.Array, classes: jax.Array,
 
 
 def multilabel_nms(boxes: jax.Array, scores: jax.Array,
-                   num_candidates: int = 4096, max_outputs: int = 300,
+                   num_candidates: int = 30000, max_outputs: int = 300,
                    iou_thresh: float = 0.7, score_thresh: float = 0.001):
     """Multi-label NMS: every (box, class) pair above threshold competes.
 
@@ -126,6 +126,12 @@ def multilabel_nms(boxes: jax.Array, scores: jax.Array,
     not just the per-box argmax class. boxes: (B, N, 4); scores: (B, N, C).
     The top-k runs over the flattened (N*C) score plane; boxes are gathered
     once for the k survivors, never materialised N*C wide.
+
+    num_candidates defaults to Ultralytics' max_nms=30000: at the
+    production 1024px/6-class shape YOLO emits 21504x6 = 129k candidate
+    pairs, and VisDrone scenes are dense enough (hundreds of objects x
+    ~10 duplicate anchors each) that a 4096 cap could drop low-score
+    candidates contributing to the high-recall mAP tail.
     """
     b, n, c = scores.shape
     # flatten class-major, (B, N, C) -> (B, C, N), so the large dim stays

@@ -137,7 +137,7 @@ def make_train_step(model, tx, img_size: int, corruption: CorruptionConfig,
 
 def make_predict_step(model, img_size: int, conf: float = 0.001,
                       iou: float = 0.7, max_det: int = 300,
-                      num_candidates: int = 4096, use_ema: bool = True,
+                      num_candidates: int = 30000, use_ema: bool = True,
                       multi_label: bool = True):
     """Jittable inference: uint8 batch -> NMS'd detections (fixed capacity).
 

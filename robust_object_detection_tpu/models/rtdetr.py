@@ -50,6 +50,12 @@ class RtDetrConfig:
     points: int = 4
     dec_layers: int = 6
     queries: int = 300
+    # order decoder queries spatially (row-major cell of the initial
+    # reference center) so the slot-layout deformable kernels see narrow
+    # value-tile bounds; one permutation is shared by all 6 layers and
+    # undone on the outputs — numerics differ only by fp summation order,
+    # and the param tree is unchanged (checkpoints stay interchangeable)
+    spatial_sort: bool = True
 
 
 # ── HGNetv2 backbone ─────────────────────────────────────────────────────
@@ -503,7 +509,7 @@ class MSDeformAttn(nn.Module):
              for f in value_levels], -1)
             + bv.astype(self.dtype)[None, :, None]
         ).reshape(b, n_h, dh, -1)
-        out = deform.ms_deform_attn_t(values_t, shapes, loc, attn)
+        out = deform.ms_deform_attn_slots(values_t, shapes, loc, attn)
         out = out.reshape(b, q, c)
         return nn.Dense(c, dtype=self.dtype, name="output_proj")(out)
 
@@ -521,6 +527,30 @@ def _offset_bias_init(n_h, n_l, n_p):
     def init(key, shape, dtype=jnp.float32):
         return jnp.asarray(flat, dtype)
     return init
+
+
+@jax.custom_vjp
+def _permute_rows(x, order, inv):
+    """x[b, order[b], ...] with a gather BACKWARD. XLA differentiates
+    take_along_axis into a scatter (serialised on TPU); for a permutation
+    the cotangent is just the inverse gather, so tell autodiff that."""
+    return jnp.take_along_axis(x, order.reshape(order.shape + (1,) *
+                                                (x.ndim - 2)), 1)
+
+
+def _permute_rows_fwd(x, order, inv):
+    return _permute_rows(x, order, inv), (inv, x.ndim)
+
+
+def _permute_rows_bwd(res, g):
+    inv, ndim = res
+    gx = jnp.take_along_axis(g, inv.reshape(inv.shape + (1,) * (ndim - 2)),
+                             1)
+    zero = np.zeros(inv.shape, jax.dtypes.float0)
+    return gx, zero, zero
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 # ── Decoder ──────────────────────────────────────────────────────────────
@@ -633,6 +663,34 @@ class RTDETR(nn.Module):
             attn_mask = _dn_attention_mask(dn["group_ids"],
                                            content.shape[1])
 
+        # spatial query ordering (see RtDetrConfig.spatial_sort): sort by
+        # the row-major 128-grid cell of the initial reference center —
+        # exactly level-0 cell order, so consecutive queries sample
+        # neighbouring value tiles in every decoder layer's deformable
+        # attention. Self-attention is permutation-equivariant (the dn
+        # mask is permuted consistently); outputs are unpermuted below.
+        inv = None
+        if cfg.spatial_sort and content.shape[1] > 1:
+            grid = 128
+            cell = (jnp.clip((ref[..., 1] * grid).astype(jnp.int32),
+                             0, grid - 1) * grid
+                    + jnp.clip((ref[..., 0] * grid).astype(jnp.int32),
+                               0, grid - 1))
+            order = jnp.argsort(cell, 1)                 # (B, total)
+            inv = jnp.argsort(order, 1)
+            content = _permute_rows(content, order, inv)
+            ref = _permute_rows(ref, order, inv)
+            if attn_mask is not None:
+                attn_mask = jnp.take_along_axis(
+                    attn_mask, order[:, None, :, None], 2)
+                attn_mask = jnp.take_along_axis(
+                    attn_mask, order[:, None, None, :], 3)
+
+        def unperm(x):
+            if inv is None:
+                return x
+            return _permute_rows(x, inv, order)
+
         layers_logits, layers_boxes = [], []
         query = content
         pos_mlp = MLP(2 * c, c, 2, self.dtype, name="query_pos")
@@ -644,10 +702,10 @@ class RTDETR(nn.Module):
                 query, ref, levels, query_pos, train, attn_mask)
             delta = MLP(c, 4, 3, self.dtype, name=f"dec_bbox{li}")(query)
             new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
-            layers_logits.append(
+            layers_logits.append(unperm(
                 nn.Dense(cfg.num_classes, name=f"dec_score{li}")(
-                    query).astype(jnp.float32))
-            layers_boxes.append(new_ref)
+                    query).astype(jnp.float32)))
+            layers_boxes.append(unperm(new_ref))
             ref = jax.lax.stop_gradient(new_ref)
         logits = jnp.stack(layers_logits)       # (L, B, D+Q, nc)
         boxes = jnp.stack(layers_boxes)

@@ -62,6 +62,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _tap_geometry(sx, sy, h, w):
@@ -636,6 +637,361 @@ def _ms_deform_attn_tpu_t(shapes, values_t, loc, attn):
 
 
 _ms_deform_attn_tpu_t.defvjp(_tpu_fwd_t, _tpu_bwd_t)
+
+
+# ── slot-layout multi-scale deformable attention ─────────────────────────
+#
+# Third-generation kernel pair. Taps are laid out LEVEL-MAJOR and
+# QUERY-BLOCKED — (head, level, query, point, tap) — instead of sorted by
+# destination cell. One (level, query) pair owns a contiguous "slot" of
+# P*4 taps, which buys three things over the sorted layout above:
+#
+#   * the per-query output reduction and the backward's per-tap dout
+#     expansion become tiny block-diagonal selector matmuls (a 128 x T
+#     iota compare) instead of Q_pad x T one-hot builds — the one-hot
+#     compares, not the MXU matmuls, dominate these kernels on TPU;
+#   * NO tap sort in the forward and NO unsort in the backward: the
+#     per-tap scalars come back in deterministic slot order (the sorted
+#     layout burned one ~24k-lane bitonic sort per decoder layer per
+#     direction);
+#   * geometry prep is one level-vectorised pass (`_geometry_batched`)
+#     instead of a per-level Python loop of small XLA ops.
+#
+# Spatial locality — narrow [lo, hi] value-tile bounds per tap chunk,
+# which is what makes the gather loop cheap — comes from the CALLER
+# ordering queries spatially (RTDETR applies one decoder-level
+# permutation shared by all 6 layers; see models/rtdetr.py) rather than
+# from sorting taps per layer. Any query order is CORRECT; sorted order
+# is fast. Reference semantics are unchanged
+# (Deformable-DETR ms_deform_attn, SURVEY.md §2.2 RT-DETR row).
+
+
+def _slot_sizes(n_p: int) -> Tuple[int, int, int]:
+    """Returns (s_w, tile_t, n_slots): slot width (taps per (level, query)
+    pair), taps per kernel chunk (multiple of both s_w and 128, capped so
+    the slot count fits one 128-lane selector), slots per chunk."""
+    import math as _m
+    s_w = n_p * 4
+    base = (s_w * 128) // _m.gcd(s_w, 128)
+    tile_t = base
+    while tile_t + base <= 768 and (tile_t + base) // s_w <= 128:
+        tile_t += base
+    return s_w, tile_t, tile_t // s_w
+
+
+def _geometry_batched(loc, shapes):
+    """Level-vectorised tap geometry. loc: (B, Q, n_h, L, P, 2) normalised
+    [0,1]. Returns (idx, w, dwx, dwy), each (B, Q, n_h, L, P, 4) over the
+    merged flat cell space (level offsets applied); dwx/dwy are wrt the
+    PIXEL coords of each level."""
+    w_l = jnp.asarray([w for (h, w) in shapes], jnp.float32)[:, None]
+    h_l = jnp.asarray([h for (h, w) in shapes], jnp.float32)[:, None]
+    wi_l = w_l.astype(jnp.int32)
+    offs = np.concatenate(
+        [[0], np.cumsum([h * w for (h, w) in shapes])[:-1]])
+    off_l = jnp.asarray(offs, jnp.int32)[:, None, None]       # (L, 1, 1)
+    sx = loc[..., 0] * w_l - 0.5                              # (B,Q,H,L,P)
+    sy = loc[..., 1] * h_l - 0.5
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    one = jnp.ones_like(fx)
+    taps = (
+        (x0, y0, (1 - fx) * (1 - fy), -(1 - fy) * one, -(1 - fx) * one),
+        (x0 + 1, y0, fx * (1 - fy), (1 - fy) * one, -fx * one),
+        (x0, y0 + 1, (1 - fx) * fy, -fy * one, (1 - fx) * one),
+        (x0 + 1, y0 + 1, fx * fy, fy * one, fx * one),
+    )
+    idxs, wgts, dxs, dys = [], [], [], []
+    for xi, yi, wgt, dwx, dwy in taps:
+        inside = (xi >= 0) & (xi < w_l) & (yi >= 0) & (yi < h_l)
+        xi_c = jnp.clip(xi, 0, w_l - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h_l - 1).astype(jnp.int32)
+        idxs.append(yi_c * wi_l + xi_c)
+        wgts.append(jnp.where(inside, wgt, 0.0))
+        dxs.append(jnp.where(inside, dwx, 0.0))
+        dys.append(jnp.where(inside, dwy, 0.0))
+    return (jnp.stack(idxs, -1) + off_l, jnp.stack(wgts, -1),
+            jnp.stack(dxs, -1), jnp.stack(dys, -1))
+
+
+def _slot_layout(x, b, n_h):
+    """(B, Q, n_h, L, P, 4) -> (B*n_h, L*Q*P*4), tap order (l, q, p, tap)."""
+    return x.transpose(0, 2, 3, 1, 4, 5).reshape(b * n_h, -1)
+
+
+def ms_deform_attn_slots(values_t, shapes, loc, attn):
+    """:func:`ms_deform_attn` with slot-layout kernels and pre-transposed
+    value maps. Args/returns as :func:`ms_deform_attn_t`. Queries SHOULD be
+    spatially ordered by the caller for peak performance; any order is
+    correct."""
+    if jax.default_backend() == "tpu" or _INTERPRET:
+        return _ms_deform_slots_tpu(shapes, values_t, loc, attn)
+    b, n_h, dh, hw = values_t.shape
+    values = values_t.reshape(b, n_h * dh, hw).transpose(0, 2, 1).reshape(
+        b, hw, n_h, dh)
+    return ms_deform_attn_ref(values, shapes, loc, attn)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ms_deform_slots_tpu(shapes, values_t, loc, attn):
+    out, _ = _slots_fwd(shapes, values_t, loc, attn)
+    return out
+
+
+def _slots_prep(shapes, values_t, loc, attn):
+    """Pad Q to a whole number of chunks, build slot-ordered taps and
+    per-chunk value-tile bounds, and pad v^T to the tile grid."""
+    b, n_h, dh, hw_tot = values_t.shape
+    q = loc.shape[1]
+    n_l, n_p = loc.shape[3], loc.shape[4]
+    s_w, tile_t, n_slots = _slot_sizes(n_p)
+    q3 = q
+    while (n_l * q3 * s_w) % tile_t:
+        q3 += 1
+    if q3 != q:
+        pad = q3 - q
+        loc = jnp.pad(loc, ((0, 0), (0, pad)) + ((0, 0),) * 4,
+                      constant_values=0.5)
+        attn = jnp.pad(attn, ((0, 0), (0, pad)) + ((0, 0),) * 3)
+    idx, w, _, _ = _geometry_batched(loc, shapes)
+    c = (w * attn[..., None]).astype(jnp.float32)
+    idx_f = _slot_layout(idx, b, n_h)                # (bh, T)
+    c_f = _slot_layout(c, b, n_h)
+    bh, t_pad = idx_f.shape
+    n_k = t_pad // tile_t
+    chunks = idx_f.reshape(bh, n_k, tile_t)
+    lo = (chunks.min(-1) // _TILE_C).astype(jnp.int32)[:, None]
+    hi = (chunks.max(-1) // _TILE_C).astype(jnp.int32)[:, None]
+    hw_pad = _round_up(hw_tot, _TILE_C)
+    # factorised value layout: tile cc, sub-row hi (cell // 128 within the
+    # tile), dh, cell % 128 — the kernels read tile cc as one (8*dh, 128)
+    # full-M matmul operand (see the kernel docstrings)
+    vt = values_t.reshape(bh, dh, hw_tot)
+    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, hw_pad - hw_tot))
+                 ).astype(jnp.bfloat16)
+    n_hi = _TILE_C // 128
+    vt = vt.reshape(bh, dh, hw_pad // _TILE_C, n_hi, 128
+                    ).transpose(0, 2, 3, 1, 4)      # (bh, n_c, 8, dh, 128)
+    return (idx_f.reshape(bh, n_k, 1, tile_t),
+            c_f.reshape(bh, n_k, 1, tile_t), lo, hi, vt,
+            (q3, s_w, tile_t, n_slots, n_k))
+
+
+def _slots_fwd(shapes, values_t, loc, attn):
+    b, n_h, dh, hw_tot = values_t.shape
+    q = loc.shape[1]
+    n_l = loc.shape[3]
+    sidx, sc, lo, hi, vt, sizes = _slots_prep(shapes, values_t, loc, attn)
+    q3, s_w, tile_t, n_slots, n_k = sizes
+    out_slots = _slots_fwd_pallas(sidx, sc, lo, hi, vt, s_w)
+    # fold slots -> queries: (l, q) slot sums add over levels
+    bh = b * n_h
+    slots = out_slots[..., :n_slots].transpose(0, 1, 3, 2)
+    out = slots.reshape(bh, n_l, q3, dh).sum(1)[:, :q]
+    out = out.reshape(b, n_h, q, dh).transpose(0, 2, 1, 3)
+    return out, (values_t, loc, attn, sidx, sc, lo, hi, vt, sizes)
+
+
+@functools.partial(jax.jit, static_argnames=("s_w",))
+def _slots_fwd_pallas(sidx, sc, lo, hi, vt, s_w: int):
+    """Factorised gather: the tap one-hot over a 1024-cell tile splits into
+    a 128-row LOW one-hot B[c_lo, t] = (idx % 128 == c_lo), built ONCE per
+    chunk, and a tiny 8-row HIGH mask A[hh, t] = (idx // 128 == tile row)
+    per visited tile. The gather is then one full-M (8*dh, 128) @ B matmul
+    followed by a select-sum over the 8 rows — ~4x less VPU compare work
+    per visit and full MXU row utilisation vs a (1024, T) one-hot."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, n_k, _, tile_t = sidx.shape
+    _, n_c, n_hi, dh, _ = vt.shape
+
+    def kernel(lo_ref, hi_ref, idx_ref, c_ref, v_ref, out_ref):
+        k = pl.program_id(1)
+        ids = idx_ref[0, 0, 0, :]
+        lo_bits = (ids & 127).reshape(1, tile_t)
+        hi_bits = (ids // 128).reshape(1, tile_t)
+        b_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, tile_t), 0)
+                == lo_bits).astype(jnp.bfloat16)          # (128, T)
+
+        def gather(cc, acc):
+            w = v_ref[0, cc].reshape(n_hi * dh, 128)      # (8*dh, 128)
+            u = jax.lax.dot_general(
+                w, b_lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (8*dh, T)
+            for hh in range(n_hi):
+                a = (hi_bits == cc * n_hi + hh).astype(jnp.float32)
+                acc = acc + u[hh * dh:(hh + 1) * dh] * a
+            return acc
+        g = jax.lax.fori_loop(lo_ref[0, 0, k], hi_ref[0, 0, k] + 1, gather,
+                              jnp.zeros((dh, tile_t), jnp.float32))
+        gw = (g * c_ref[0, 0, 0, :].reshape(1, tile_t)).astype(jnp.bfloat16)
+        # block-diagonal slot selector: sel[j, t] = (t // s_w == j), built
+        # with mul+compare only (Mosaic-safe for any slot width)
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (128, tile_t), 0)
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (128, tile_t), 1)
+        sel = ((tcol >= jrow * s_w) & (tcol < (jrow + 1) * s_w)
+               ).astype(jnp.bfloat16)
+        out_ref[0, 0] = jax.lax.dot_general(
+            gw, sel, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (dh, 128)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_k), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_k), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_c, n_hi, dh, 128),
+                         lambda b_, k: (b_, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, dh, 128), lambda b_, k: (b_, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_k, dh, 128), jnp.float32),
+        interpret=_INTERPRET,
+    )(lo, hi, sidx, sc, vt)
+
+
+def _slots_bwd(shapes, res, dout):
+    values_t, loc, attn, sidx, sc, lo, hi, vt, sizes = res
+    b, n_h, dh, hw_tot = values_t.shape
+    q = loc.shape[1]
+    n_l, n_p = loc.shape[3], loc.shape[4]
+    q3, s_w, tile_t, n_slots, n_k = sizes
+    bh = b * n_h
+
+    # dout -> per-(level, query) slot cotangents, chunk-blocked
+    dout_t = jnp.pad(dout.astype(jnp.float32),
+                     ((0, 0), (0, q3 - q), (0, 0), (0, 0))
+                     ).transpose(0, 2, 3, 1).reshape(bh, dh, q3)
+    dslot = jnp.tile(dout_t, (1, 1, n_l)).reshape(bh, dh, n_k, n_slots)
+    dslot = jnp.pad(dslot.transpose(0, 2, 1, 3),
+                    ((0, 0), (0, 0), (0, 0), (0, 128 - n_slots))
+                    ).astype(jnp.bfloat16)            # (bh, n_k, dh, 128)
+
+    dv4, s = _slots_bwd_pallas(sidx, sc, lo, hi, vt, dslot, s_w)
+    # (bh, n_c, 8, dh, 128) -> (bh, dh, hw_pad) -> trim tile padding
+    dv_t = dv4.transpose(0, 3, 1, 2, 4).reshape(bh, dh, -1)
+    dvalues_t = dv_t[..., :hw_tot].reshape(
+        b, n_h, dh, hw_tot).astype(values_t.dtype)
+
+    # per-tap scalars arrive in deterministic slot order — no unsort
+    s = s.reshape(b, n_h, n_l, q3, n_p, 4)[:, :, :, :q]
+    s = s.transpose(0, 3, 1, 2, 4, 5)                 # (B,Q,H,L,P,4)
+    _, w, dwx, dwy = _geometry_batched(loc, shapes)
+    dattn = (s * w).sum(-1)
+    ds_pix = s * attn[..., None]
+    dsx = (ds_pix * dwx).sum(-1)
+    dsy = (ds_pix * dwy).sum(-1)
+    scale = jnp.asarray([(w_, h_) for (h_, w_) in shapes], jnp.float32)
+    dloc = jnp.stack([dsx, dsy], -1) * scale[None, None, None, :, None, :]
+    return dvalues_t, dloc.astype(loc.dtype), dattn.astype(attn.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("s_w",))
+def _slots_bwd_pallas(sidx, sc, lo, hi, vt, dslot, s_w: int):
+    """Backward with the same high/low one-hot factorisation as the
+    forward: per visited tile, the re-gather for the per-tap scalars is
+    (8*dh, 128) @ B + select-sum, and the dV stamp builds the (8*dh, T)
+    high-masked gradient stack once and lands the whole tile with ONE
+    full-M matmul against B^T, accumulating straight into the factorised
+    (n_c, 8, dh, 128) dV layout."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, n_k, _, tile_t = sidx.shape
+    _, n_c, n_hi, dh, _ = vt.shape
+
+    def kernel(lo_ref, hi_ref, idx_ref, c_ref, v_ref, dslot_ref,
+               dv_ref, s_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            dv_ref[...] = jnp.zeros_like(dv_ref)
+
+        ids = idx_ref[0, 0, 0, :]
+        lo_bits = (ids & 127).reshape(1, tile_t)
+        hi_bits = (ids // 128).reshape(1, tile_t)
+        b_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, tile_t), 0)
+                == lo_bits).astype(jnp.bfloat16)          # (128, T)
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (128, tile_t), 0)
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (128, tile_t), 1)
+        sel = ((tcol >= jrow * s_w) & (tcol < (jrow + 1) * s_w)
+               ).astype(jnp.bfloat16)
+        dout_tap = jax.lax.dot_general(
+            dslot_ref[0, 0], sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (dh, tile_t)
+        gw = (dout_tap * c_ref[0, 0, 0, :].reshape(1, tile_t)
+              ).astype(jnp.bfloat16)
+
+        def visit(cc, s_acc):
+            w = v_ref[0, cc].reshape(n_hi * dh, 128)
+            u = jax.lax.dot_general(
+                w, b_lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (8*dh, T)
+            masks = [(hi_bits == cc * n_hi + hh).astype(jnp.float32)
+                     for hh in range(n_hi)]
+            g = sum(u[hh * dh:(hh + 1) * dh] * masks[hh]
+                    for hh in range(n_hi))                # (dh, T)
+            s_acc = s_acc + (g * dout_tap).sum(0)
+            # dV: stack the high-masked tap gradients and stamp the whole
+            # tile with one matmul against B^T
+            ga = jnp.concatenate(
+                [gw * masks[hh].astype(jnp.bfloat16) for hh in range(n_hi)],
+                axis=0)                                   # (8*dh, T)
+            stamp = jax.lax.dot_general(
+                ga, b_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (8*dh, 128)
+            dv_ref[0, cc] = dv_ref[0, cc] + stamp.reshape(n_hi, dh, 128)
+            return s_acc
+        s_ref[0, 0, 0, :] = jax.lax.fori_loop(
+            lo_ref[0, 0, k], hi_ref[0, 0, k] + 1, visit,
+            jnp.zeros((tile_t,), jnp.float32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_k), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_k), lambda b_, k: (b_, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_c, n_hi, dh, 128),
+                         lambda b_, k: (b_, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh, 128), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_c, n_hi, dh, 128),
+                         lambda b_, k: (b_, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_t), lambda b_, k: (b_, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_c, n_hi, dh, 128), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_k, 1, tile_t), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(lo, hi, sidx, sc, vt, dslot)
+
+
+_ms_deform_slots_tpu.defvjp(_slots_fwd, _slots_bwd)
 
 
 def ms_deform_attn_t(values_t, shapes, loc, attn):

@@ -219,3 +219,60 @@ def test_fused_nonsquare_levels_and_eval_q(rng):
         deform._INTERPRET = False
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+class TestSlotLayoutMsDeformAttn:
+    """ms_deform_attn_slots (level-major slot layout, sort-free): value and
+    all three gradients must match the XLA reference in interpret mode,
+    for any (unsorted) query order and with Q padding in play."""
+
+    def _check(self, rng, **kw):
+        values, shapes, loc, attn = TestFusedMsDeformAttn._inputs(rng, **kw)
+        b, hw, heads, dh = values.shape
+        values_t = values.transpose(0, 2, 3, 1).reshape(b, heads, dh, hw)
+        cot = jnp.asarray(rng.standard_normal(
+            (b, loc.shape[1], heads, dh)), jnp.float32)
+
+        def loss_ref(v, l, a):
+            return (deform.ms_deform_attn_ref(v, shapes, l, a) * cot).sum()
+
+        def loss_s(vt, l, a):
+            return (deform._ms_deform_slots_tpu(shapes, vt, l, a)
+                    * cot).sum()
+
+        ref = deform.ms_deform_attn_ref(values, shapes, loc, attn)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(values, loc, attn)
+        deform._INTERPRET = True
+        try:
+            out = deform._ms_deform_slots_tpu(shapes, values_t, loc, attn)
+            g_s = jax.grad(loss_s, argnums=(0, 1, 2))(values_t, loc, attn)
+        finally:
+            deform._INTERPRET = False
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
+        dv_ref_t = np.asarray(g_ref[0]).transpose(0, 2, 3, 1).reshape(
+            b, heads, dh, hw)
+        np.testing.assert_allclose(np.asarray(g_s[0]), dv_ref_t,
+                                   atol=5e-2, rtol=5e-2, err_msg="dvalues")
+        for gr, gt, name in zip(g_ref[1:], g_s[1:], ("dloc", "dattn")):
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(gr),
+                                       atol=5e-2, rtol=5e-2, err_msg=name)
+
+    def test_value_and_grad_parity(self, rng):
+        self._check(rng)
+
+    def test_points_p4_production_slot_width(self, rng):
+        # P=4 -> slot width 16 (the production RT-DETR config)
+        self._check(rng, p=4)
+
+    def test_nonsquare_levels(self, rng):
+        self._check(rng, shapes=((6, 10), (3, 5)), q=5)
+
+    def test_geometry_batched_matches_merged(self, rng):
+        """The level-vectorised geometry equals the per-level loop."""
+        _, shapes, loc, attn = TestFusedMsDeformAttn._inputs(rng)
+        got = deform._geometry_batched(loc, shapes)
+        want = deform._merged_geometry(loc, shapes)
+        for g, w, name in zip(got, want, ("idx", "w", "dwx", "dwy")):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-6, err_msg=name)
